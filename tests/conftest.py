@@ -9,7 +9,7 @@ hardware.  Env vars must be set before jax initializes.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,16 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# sitecustomize may have imported jax at interpreter startup with
+# JAX_PLATFORMS=axon already captured; override programmatically.
+jax.config.update("jax_platforms", "cpu")
+
+# CPU tests check float64 parity against the oracles; the TPU production
+# path deliberately runs f32 with host f64 re-verification of decisions.
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

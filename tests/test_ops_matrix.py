@@ -1,0 +1,107 @@
+"""Device matrix kernels vs float64 numpy oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hic_genome_assembler_tpu.ops import matrix as dev
+from hic_genome_assembler_tpu.ops import oracle
+
+
+@pytest.fixture(scope="module")
+def mat(genome):
+    return genome.matrix
+
+
+def test_distance_matches_oracle(mat):
+    got = np.asarray(dev.to_distance(jnp.asarray(mat)))
+    want = oracle.to_distance(mat)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert got.min() >= 1.0 and got.max() <= 2.0
+
+
+def test_similarity_inverts_distance(mat):
+    row_sums = mat.sum(axis=1)
+    dist = oracle.to_distance(mat)
+    got = np.asarray(dev.to_similarity(jnp.asarray(dist), jnp.asarray(row_sums)))
+    np.testing.assert_allclose(got, mat, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("plus_one", [True, False])
+def test_log_transform_roundtrip(mat, plus_one):
+    m = jnp.asarray(mat)
+    fwd = dev.log_transform(m, plus_one=plus_one)
+    np.testing.assert_allclose(
+        np.asarray(fwd), oracle.log_transform(mat, plus_one=plus_one), rtol=1e-12
+    )
+    back = dev.log_transform(fwd, reverse=True, plus_one=plus_one)
+    # roundtrip matches the oracle's roundtrip exactly (note: the no-+1
+    # part2 variant genuinely loses entries whose value is 1.0 — log=0
+    # hits the zero-guard, same as the reference, orderGenome.py:169-170)
+    want = oracle.log_transform(
+        oracle.log_transform(mat, plus_one=plus_one), reverse=True, plus_one=plus_one
+    )
+    np.testing.assert_allclose(np.asarray(back), want, rtol=1e-9, atol=1e-12)
+    if plus_one:
+        np.testing.assert_allclose(np.asarray(back), mat, rtol=1e-6, atol=1e-9)
+    assert np.all(np.asarray(fwd)[mat == 0.0] == 0.0)
+
+
+def test_reorder_symmetric(mat):
+    rng = np.random.default_rng(0)
+    order = rng.permutation(mat.shape[0])
+    got = np.asarray(dev.reorder(jnp.asarray(mat), jnp.asarray(order)))
+    want = mat[order][:, order]
+    np.testing.assert_allclose(got, want)
+
+
+def test_rank_matrix_sorted_desc(mat):
+    ranks = np.asarray(dev.rank_matrix_desc(jnp.asarray(mat)))
+    # each row's rank order must actually sort the row descending
+    for i in range(0, mat.shape[0], 7):
+        vals = mat[i, ranks[i]]
+        assert np.all(np.diff(vals) <= 1e-12)
+    # oracle (reference tie behavior) sorts identically by value
+    oranks = oracle.rank_matrix_desc(mat)
+    for i in range(0, mat.shape[0], 7):
+        np.testing.assert_allclose(mat[i, ranks[i]], mat[i, oranks[i]])
+
+
+@pytest.mark.parametrize("start", [0, 3, 17])
+def test_growing_window_counts(mat, start):
+    ranks = oracle.rank_matrix_desc(mat).astype(np.int32)
+    got = np.asarray(dev.growing_window_counts(jnp.asarray(ranks), jnp.int32(start)))
+    want = oracle.growing_window_counts(ranks, start)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("start,cut", [(0, 5), (4, 20), (10, 30)])
+def test_fixed_window_counts(mat, start, cut):
+    ranks = oracle.rank_matrix_desc(mat).astype(np.int32)
+    got = np.asarray(dev.fixed_window_counts(jnp.asarray(ranks), jnp.int32(start), jnp.int32(cut)))
+    want = oracle.fixed_window_counts(ranks, start, cut)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_condensed_upper_matches_scipy(mat):
+    import scipy.spatial.distance as ssd
+
+    got = dev.condensed_upper(mat)
+    want = ssd.squareform(mat, checks=False)
+    np.testing.assert_allclose(got, want)
+
+
+def test_mesh_sharded_transform_runs():
+    """Full distance transform under an 8-device mesh sharding."""
+    import jax
+    from hic_genome_assembler_tpu.parallel import mesh as pm
+
+    mesh = pm.make_mesh((8, 1))
+    n = 64
+    rng = np.random.default_rng(1)
+    m = rng.random((n, n))
+    m = m + m.T
+    sharded = jax.device_put(jnp.asarray(m), pm.matrix_sharding(mesh))
+    out = dev.to_distance(sharded)
+    np.testing.assert_allclose(np.asarray(out), oracle.to_distance(m), rtol=1e-12)
+    assert len(out.sharding.device_set) == 8
