@@ -1,0 +1,418 @@
+"""Part 2 — order & orient scaffolds within each chromosome.
+
+Search pipeline per chromosome (orderGenome.py:551-586):
+
+1. brute force over the nScaffolds largest scaffolds: all
+   N!/2 * 2^N (order, orientation) candidates batch-scored on device via
+   the BlockScorer table factorization (reference: one numba kernel call
+   per candidate, orderGenome.py:432-473);
+2. greedy insertion of each remaining scaffold (size-descending): the
+   2(K+1) slot x orientation candidates batch-scored with the
+   DirectScorer (reference: checkAllScores, orderGenome.py:332-372);
+3. sliding-window refinement: all w!/2 * 2^w window permutations scored
+   against the full chromosome matrix, sweeps repeated to convergence
+   (reference: scanOrdering, orderGenome.py:495-549).
+
+Decision parity: every candidate set is enumerated in the reference's
+order (ops.perms), device costs are fast precision, and the winner is
+re-scored on host in f64 with the reference's exact summation order
+before the strict-> acceptance test (ops.cost.argmax_reference_ties).
+
+Reference quirks intentionally preserved:
+* greedy insertion runs once even when no scaffolds remain, re-placing
+  the last brute-forced scaffold (orderRemainderScaffolds pops before
+  the empty check, orderGenome.py:484-492);
+* the orientation tested first at insertion slot i alternates, because
+  the reference leaves the candidate flipped after each slot
+  (checkAllScores flips then pops, orderGenome.py:356-365);
+* all-candidates-nonpositive falls back to slot 0 / "+"
+  (checkAllScores' bestOrd "NA" defaults, orderGenome.py:338-341);
+* zero-contact chromosomes return the first enumeration candidate with
+  a warning (orderGenome.py:449-453).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hic_genome_assembler_tpu.io import filebus, hicpro
+from hic_genome_assembler_tpu.ops import cost as cost_ops
+from hic_genome_assembler_tpu.ops import perms
+
+
+@dataclass
+class Scaffold:
+    """Ordering state: orientation uniquely determines bin sequence
+    ("+" = ascending binID = 5'->3', orderGenome.py:239-280)."""
+
+    name: str
+    bins_asc: List[int]
+    orientation: str = "+"
+
+    @property
+    def bin_seq(self) -> List[int]:
+        return self.bins_asc if self.orientation == "+" else self.bins_asc[::-1]
+
+    @property
+    def n_bins(self) -> int:
+        return len(self.bins_asc)
+
+
+def initiate_bins_and_scaffolds(
+    node_list: Sequence[Sequence],
+) -> Tuple[List[Scaffold], Dict[str, Scaffold]]:
+    """Group [binID, scaffName] rows into size-descending Scaffolds.
+
+    First-appearance dict order + stable size sort reproduces the
+    reference's tie order (orderGenome.py:256-280).
+    """
+    by_name: Dict[str, Scaffold] = {}
+    for bin_id, name in node_list:
+        if name not in by_name:
+            by_name[name] = Scaffold(name, [])
+        by_name[name].bins_asc.append(bin_id)
+    for s in by_name.values():
+        s.bins_asc.sort()
+    print("Scaffolds to order for this chromosome " + str(len(by_name)))
+    ordered = sorted(by_name.values(), key=lambda s: len(s.bins_asc), reverse=True)
+    return ordered, by_name
+
+
+class _ChromosomeContext:
+    """Full-genome matrix + binID -> row index lookup."""
+
+    def __init__(self, matrix: np.ndarray, bin_list: List[hicpro.Bin]):
+        self.matrix = np.asarray(matrix, dtype=np.float64)
+        self.bin_index = {b.ID: i for i, b in enumerate(bin_list)}
+
+    def gather(self, bin_ids: Sequence[int]) -> np.ndarray:
+        idx = [self.bin_index[b] for b in bin_ids]
+        return self.matrix[np.ix_(idx, idx)]
+
+
+def _apply_block_choice(
+    scaffs: List[Scaffold], order: Sequence[int], orient: Sequence[int]
+) -> List[Scaffold]:
+    out = []
+    for s_idx, e in zip(order, orient):
+        s = scaffs[s_idx]
+        s.orientation = "-" if e else "+"
+        out.append(s)
+    return out
+
+
+def brute_force_best(
+    head: List[Scaffold], ctx: _ChromosomeContext
+) -> Tuple[List[Scaffold], float]:
+    """Stage 1: exhaustive search over the largest scaffolds."""
+    sizes = [s.n_bins for s in head]
+    canonical_bins = [b for s in head for b in s.bins_asc]
+    sub = ctx.gather(canonical_bins)
+    scorer = cost_ops.BlockScorer(sub, sizes)
+    orders = perms.order_batch(len(head))
+    orients = perms.orient_batch(len(head))
+    if scorer.degenerate:
+        print(
+            "WARNING/ERROR - Zero contact values found between scaffolds "
+            "assigned to chromosome group "
+            + ",".join(s.name for s in head)
+        )
+        print(
+            "This chromosome will be returned with an arbitrary order and "
+            "orientation. This error is likely caused by too small of "
+            "scaffolds being included in the assembly process whereby they "
+            "do not share any contact values"
+        )
+        return _apply_block_choice(head, orders[0], orients[0]), 0.0
+    n_cand = len(orders) * len(orients)
+    print("Initial permutations to test " + str(n_cand) + "...")
+    costs = scorer.score_batch(orders, orients)
+    R = len(orients)
+    winner, best = cost_ops.argmax_reference_ties(
+        costs,
+        rescore=lambda i: scorer.score_host(orders[i // R], orients[i % R]),
+    )
+    return _apply_block_choice(head, orders[winner // R], orients[winner % R]), best
+
+
+def _greedy_candidates(
+    ordered: List[Scaffold], new: Scaffold
+) -> Tuple[List[List[int]], List[Tuple[int, str]]]:
+    """Enumerate the 2(K+1) insertion candidates in reference order.
+
+    Returns (bin-ID sequences, (slot, orientation) per candidate).  The
+    first-tested orientation alternates per slot starting from the
+    candidate's current orientation (checkAllScores' flip-then-pop,
+    orderGenome.py:344-365).
+    """
+    cands: List[List[int]] = []
+    meta: List[Tuple[int, str]] = []
+    state = new.orientation
+    for slot in range(len(ordered) + 1):
+        for orientation in (state, "-" if state == "+" else "+"):
+            seq: List[int] = []
+            for k, s in enumerate(ordered):
+                if k == slot:
+                    seq.extend(new.bins_asc if orientation == "+" else new.bins_asc[::-1])
+                seq.extend(s.bin_seq)
+            if slot == len(ordered):
+                seq.extend(new.bins_asc if orientation == "+" else new.bins_asc[::-1])
+            cands.append(seq)
+            meta.append((slot, orientation))
+        state = "-" if state == "+" else "+"
+    return cands, meta
+
+
+def order_remainder_scaffolds(
+    ordered: List[Scaffold],
+    remaining: List[Scaffold],
+    ctx: _ChromosomeContext,
+) -> Tuple[List[Scaffold], float]:
+    """Stage 2: greedy insertion (orderRemainderScaffolds semantics,
+    including the final self-reinsertion when ``remaining`` is empty)."""
+    best_cost = 0.0
+    while True:
+        if remaining:
+            new = remaining.pop(0)
+        else:
+            new = ordered.pop(-1)
+        sub_bins = [b for s in ordered for b in s.bin_seq] + new.bins_asc
+        id_to_idx = {b: i for i, b in enumerate(sub_bins)}
+        sub = ctx.gather(sub_bins)
+        scorer = cost_ops.DirectScorer(sub)
+
+        cands, meta = _greedy_candidates(ordered, new)
+        orders = np.asarray(
+            [[id_to_idx[b] for b in seq] for seq in cands], dtype=np.int32
+        )
+        costs = scorer.score(orders)
+        if scorer.degenerate or costs.max() <= 0.0:
+            slot, orientation = 0, "+"
+            best_cost = 0.0
+        else:
+            winner, best_cost = cost_ops.argmax_reference_ties(
+                costs, rescore=lambda i: scorer.score_host(orders[i])
+            )
+            if best_cost <= 0.0:
+                slot, orientation = 0, "+"
+            else:
+                slot, orientation = meta[winner]
+        new.orientation = orientation
+        ordered.insert(slot, new)
+        if len(remaining) == 0:
+            break
+    return ordered, best_cost
+
+
+def scan_ordering(
+    ordered: List[Scaffold],
+    ctx: _ChromosomeContext,
+    best_cost: float,
+    scan_scaffolds: int = 5,
+) -> Tuple[List[Scaffold], float]:
+    """Stage 3: sliding-window refinement against the full chromosome
+    matrix (scanOrdering, orderGenome.py:495-549)."""
+    canonical_bins = [b for s in ordered for b in s.bin_seq]
+    id_to_idx = {b: i for i, b in enumerate(canonical_bins)}
+    scorer = cost_ops.DirectScorer(ctx.gather(canonical_bins))
+    w = scan_scaffolds
+    round_number = 0
+    while True:
+        improved = False
+        print("Working on round " + str(round_number + 1) + " of final step...")
+        for i in range(0, len(ordered) - w + 1):
+            window = ordered[i : i + w]
+            orders = perms.order_batch(w)
+            orients = perms.orient_batch(w)
+            R = len(orients)
+            cand_bin_orders = np.empty(
+                (len(orders) * R, len(canonical_bins)), dtype=np.int32
+            )
+            metas: List[Tuple[np.ndarray, np.ndarray]] = []
+            prefix = [b for s in ordered[:i] for b in s.bin_seq]
+            suffix = [b for s in ordered[i + w :] for b in s.bin_seq]
+            for oi, o in enumerate(orders):
+                for ri, r in enumerate(orients):
+                    mid: List[int] = []
+                    for s_idx, e in zip(o, r):
+                        s = window[s_idx]
+                        mid.extend(s.bins_asc if e == 0 else s.bins_asc[::-1])
+                    seq = prefix + mid + suffix
+                    cand_bin_orders[oi * R + ri] = [id_to_idx[b] for b in seq]
+                    metas.append((o, r))
+            costs = scorer.score(cand_bin_orders)
+            # trigger exact re-scoring whenever the fast-precision max is
+            # even close to the incumbent (f32 device costs may straddle it)
+            trigger = best_cost - 1e-5 * max(abs(best_cost), 1.0)
+            if not scorer.degenerate and costs.max() > trigger:
+                winner, exact = cost_ops.argmax_reference_ties(
+                    costs, rescore=lambda c: scorer.score_host(cand_bin_orders[c])
+                )
+                if exact > best_cost:
+                    best_cost = exact
+                    o, r = metas[winner]
+                    new_window = []
+                    for s_idx, e in zip(o, r):
+                        s = window[s_idx]
+                        s.orientation = "-" if e else "+"
+                        new_window.append(s)
+                    ordered[i : i + w] = new_window
+                    improved = True
+        round_number += 1
+        if not improved:
+            break
+    print("Sliding window conversion after " + str(round_number) + " rounds")
+    print("Best cost at the end of the final step = " + str(best_cost))
+    return ordered, best_cost
+
+
+def order_chromosome(
+    chrom_group: Sequence[Sequence],
+    ctx: _ChromosomeContext,
+    n_scaffolds: int = 6,
+    scan_scaffolds: int = 5,
+) -> List[Scaffold]:
+    """Full per-chromosome search (orderChromosome, orderGenome.py:551-586)."""
+    if n_scaffolds >= 9:
+        print("Number of initial scaffolds to order by brute force method is set too high...")
+        print(str(perms.calc_possible_perms(n_scaffolds)) + " Different permutations would need to be calculated with current setting")
+        print("Setting number of initial scaffolds to 8")
+        n_scaffolds = 8
+    if scan_scaffolds > n_scaffolds:
+        scan_scaffolds = n_scaffolds
+
+    scaffold_list, _ = initiate_bins_and_scaffolds(chrom_group)
+    head = scaffold_list[:n_scaffolds]
+    tail = scaffold_list[n_scaffolds:]
+    ordered, _bf = brute_force_best(head, ctx)
+    ordered, best_cost = order_remainder_scaffolds(ordered, tail, ctx)
+    print("BestCost at the end of first two steps " + str(best_cost))
+    if len(ordered) > n_scaffolds:
+        ordered, best_cost = scan_ordering(ordered, ctx, best_cost, scan_scaffolds)
+    print("Final ordering...")
+    for s in ordered:
+        print(s.name, s.orientation)
+    return ordered
+
+
+def order_genome(
+    matrix: np.ndarray,
+    chrom_list: List[List[List[object]]],
+    bin_list: List[hicpro.Bin],
+    resolution: int,
+    n_scaffolds: int = 6,
+    scan_scaffolds: int = 5,
+    plot_chrom: bool = True,
+    save_plot_dir: Optional[str] = None,
+    plot_title_suffix: Optional[str] = None,
+) -> List[List[Scaffold]]:
+    """All chromosomes (orderGenome.py:591-628)."""
+    start = time.time()
+    ctx = _ChromosomeContext(matrix, bin_list)
+    genome_order: List[List[Scaffold]] = []
+    for i, chrom_group in enumerate(chrom_list):
+        print("#####################\n#####################")
+        print("Working on Chr_" + str(i + 1) + "...")
+        chrom_order = order_chromosome(
+            chrom_group, ctx, n_scaffolds=n_scaffolds, scan_scaffolds=scan_scaffolds
+        )
+        genome_order.append(chrom_order)
+        if plot_chrom and save_plot_dir:
+            from hic_genome_assembler_tpu.viz import plot as plot_mod
+
+            name = "Chr_" + str(i + 1)
+            sub = ctx.gather([b for s in chrom_order for b in s.bin_seq])
+            plot_mod.plot_contact_map(
+                sub,
+                resolution=resolution,
+                tick_count=11,
+                w_inches=24,
+                h_inches=24,
+                low_pct=1,
+                high_pct=98,
+                save_plot=save_plot_dir + "/" + name + ".png",
+                title=name,
+                title_suffix=plot_title_suffix,
+            )
+    print("RunTime for total genome with plotting and saving .pngs = " + str(time.time() - start))
+    return genome_order
+
+
+def get_chromosome_outline_coords(genome_order: List[List[Scaffold]]) -> List[int]:
+    """Cumulative bin counts per chromosome (orderGenome.py:662-674)."""
+    coords, index = [], 0
+    for group in genome_order:
+        for s in group:
+            index += s.n_bins
+        coords.append(index)
+    return coords
+
+
+def run_pipeline(
+    hic_pro_bed_file: str,
+    hic_pro_bias_file: str,
+    hic_pro_matrix_file: str,
+    chromosome_group_file: str,
+    chromosome_order_file: str,
+    save_plots_directory: str,
+    chromosome_plot_suffix: str,
+    full_genome_plot: str,
+    full_genome_plot_title: str,
+    plot_order_file: str,
+    n_scaffolds: int,
+    scan_scaffolds: int,
+    resolution: int,
+) -> None:
+    """Part 2 driver (orderGenome.py:679-712)."""
+    print("########################################")
+    print("### Working on Part2 of the pipeline ###")
+    start = time.time()
+    bin_dict = filebus.read_groupings_to_valid_bins(chromosome_group_file)
+    bin_list = hicpro.initiate_loci(hic_pro_bed_file, hic_pro_bias_file, binID_dict=bin_dict)
+    adj = hicpro.build_adjacency_matrix(hic_pro_matrix_file, bin_list)
+    chrom_list = filebus.read_chroms_from_file(chromosome_group_file)
+
+    genome_order = order_genome(
+        adj,
+        chrom_list,
+        bin_list,
+        resolution,
+        n_scaffolds=n_scaffolds,
+        scan_scaffolds=scan_scaffolds,
+        plot_chrom=True,
+        save_plot_dir=save_plots_directory,
+        plot_title_suffix=chromosome_plot_suffix,
+    )
+
+    outline = get_chromosome_outline_coords(genome_order)
+    ctx = _ChromosomeContext(adj, bin_list)
+    full_bins = [b for group in genome_order for s in group for b in s.bin_seq]
+    if full_genome_plot:
+        from hic_genome_assembler_tpu.viz import plot as plot_mod
+
+        plot_mod.plot_contact_map(
+            ctx.gather(full_bins),
+            resolution=resolution,
+            tick_count=11,
+            highlight_chroms=outline,
+            w_inches=32,
+            h_inches=32,
+            low_pct=2,
+            high_pct=98,
+            save_plot=full_genome_plot,
+            title=full_genome_plot_title,
+        )
+    filebus.write_scaffold_orderings(
+        [[(s.name, s.orientation) for s in group] for group in genome_order],
+        chromosome_order_file,
+    )
+    filebus.write_bin_ids_ordering(
+        [(s.name, s.bin_seq) for group in genome_order for s in group],
+        plot_order_file,
+    )
+    print("Total run-time  for Part2 = " + str(time.time() - start))
+    print("- Part 2 (chromosome ordering) completed successfully")

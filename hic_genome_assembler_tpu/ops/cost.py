@@ -1,0 +1,293 @@
+"""TPU scoring engine for the distance-weighted contact cost.
+
+The reference scores one candidate arrangement at a time with a numba
+kernel over the permuted C x C matrix (orderGenome.py:184-193,
+bruteForceBestScore :432-473): cost = sum_{i=1}^{C-1} (sum_{j<=i}
+trace(M_P, j)) / total / i.  Swapping the summation order gives
+
+    cost(P) = sum_{k<l} M[o_k, o_l] * w(l - k),
+    w(d)    = H_d / total,   H_d = sum_{i=d}^{C-1} 1/i,
+
+i.e. a fixed harmonic weight profile contracted against the permuted
+matrix.  Two device paths exploit this:
+
+* ``DirectScorer`` — batched gather + weighted reduction for arbitrary
+  candidate bin orders (used by greedy insertion / sliding-window
+  refinement, where candidate counts are modest);
+* ``BlockScorer`` — scaffold-block factorization for brute force: every
+  scaffold pair's contribution depends only on (pair, orientations,
+  start-offset delta), so one scatter + one MXU matmul precomputes a
+  lookup table F[pair, orient, delta] and each of the N!/2 * 2^N
+  candidates scores in O(S^2) gathers instead of O(C^2) — a ~C^2/S^2
+  algorithmic speedup over the reference kernel before any parallelism.
+
+Decision exactness: device scoring runs in fast (f32 on TPU) precision;
+``argmax_reference_ties`` re-scores the top-k candidates on host in
+float64 with the reference's exact summation order
+(ops.oracle.cost_function) and applies the reference's tie rule (strict
+``>`` update == earliest candidate wins).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hic_genome_assembler_tpu.ops import oracle
+
+
+def harmonic_weights(C: int, total: float) -> np.ndarray:
+    """w[d] = (sum_{i=d}^{C-1} 1/i) / total for d in 1..C-1; w[0] = 0."""
+    w = np.zeros(max(C, 1), dtype=np.float64)
+    if C > 1 and total != 0.0:
+        inv = 1.0 / np.arange(1, C, dtype=np.float64)
+        w[1:] = np.cumsum(inv[::-1])[::-1] / total
+    return w
+
+
+def upper_triangle_total(matrix: np.ndarray) -> float:
+    iu = np.triu_indices(matrix.shape[0], k=1)
+    return float(matrix[iu].sum())
+
+
+def bin_order_of_block(
+    order: Sequence[int], orient: Sequence[int], sizes: Sequence[int]
+) -> np.ndarray:
+    """Scaffold-level (order, orient) -> canonical bin-index order.
+
+    Canonical layout: scaffold k occupies bins [offset_k, offset_k +
+    sizes[k]) in 5'->3' direction; orientation 1 ("-") reverses its
+    bins (Scaffold.flipOrientation, orderGenome.py:246-254).
+    """
+    sizes = np.asarray(sizes)
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    chunks = []
+    for s, e in zip(order, orient):
+        bins = np.arange(offsets[s], offsets[s] + sizes[s])
+        chunks.append(bins[::-1] if e else bins)
+    return np.concatenate(chunks).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Direct (gather) scorer
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _direct_score_kernel(m: jnp.ndarray, w2: jnp.ndarray, orders: jnp.ndarray) -> jnp.ndarray:
+    gathered = m[orders[:, :, None], orders[:, None, :]]
+    return 0.5 * jnp.einsum("bij,ij->b", gathered, w2)
+
+
+class DirectScorer:
+    """Batched scoring of arbitrary bin orders over one submatrix."""
+
+    def __init__(self, sub_matrix: np.ndarray, dtype=np.float32, chunk_elems: int = 1 << 26):
+        self.m64 = np.asarray(sub_matrix, dtype=np.float64)
+        self.C = self.m64.shape[0]
+        self.total = upper_triangle_total(self.m64)
+        self.degenerate = self.total == 0.0
+        self.w = harmonic_weights(self.C, self.total)
+        idx = np.abs(np.subtract.outer(np.arange(self.C), np.arange(self.C)))
+        self._w2 = self.w[idx]
+        self._md = jnp.asarray(self.m64.astype(dtype))
+        self._w2d = jnp.asarray(self._w2.astype(dtype))
+        self._chunk = max(1, chunk_elems // max(self.C * self.C, 1))
+
+    def score(self, orders: np.ndarray) -> np.ndarray:
+        """Device costs for int[B, C] candidate bin orders."""
+        if self.degenerate:
+            return np.zeros(orders.shape[0], dtype=np.float64)
+        out = []
+        for ofs in range(0, orders.shape[0], self._chunk):
+            chunk = jnp.asarray(orders[ofs : ofs + self._chunk].astype(np.int32))
+            out.append(np.asarray(_direct_score_kernel(self._md, self._w2d, chunk)))
+        return np.concatenate(out).astype(np.float64)
+
+    def score_host(self, order: np.ndarray) -> float:
+        """Reference-exact f64 cost of one bin order (same summation
+        order as orderGenome.py:184-191)."""
+        if self.degenerate:
+            return 0.0
+        gathered = self.m64[np.ix_(order, order)]
+        return oracle.cost_function(gathered, self.total)
+
+
+# ---------------------------------------------------------------------------
+# Block (scaffold-pair table) scorer
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("Cp1",))
+def _block_score_kernel(
+    F_flat: jnp.ndarray,
+    sizes: jnp.ndarray,
+    orders: jnp.ndarray,   # [Bo, S]
+    e_pair: jnp.ndarray,   # [R, P]
+    pi: jnp.ndarray,       # [P]
+    pj: jnp.ndarray,       # [P]
+    c0: jnp.ndarray,
+    Cp1: int,
+) -> jnp.ndarray:
+    S = orders.shape[1]
+    sz = sizes[orders]
+    offs = jnp.cumsum(sz, axis=1) - sz
+    s_i, s_j = orders[:, pi], orders[:, pj]              # [Bo, P]
+    delta = offs[:, pj] - offs[:, pi]                    # [Bo, P]
+    pair_base = (s_i * S + s_j) * 4                      # [Bo, P]
+    idx = (pair_base[:, None, :] + e_pair[None, :, :]) * Cp1 + delta[:, None, :]
+    return F_flat[idx].sum(axis=-1) + c0                 # [Bo, R]
+
+
+class BlockScorer:
+    """Brute-force scorer over scaffold-level (order, orientation) batches.
+
+    Construction is one scatter over the C x C submatrix plus one
+    (4*S^2, L) @ (L, C+1) matmul; each candidate then costs S*(S-1)/2
+    table gathers.  Matches the reference cost exactly in exact mode
+    (``score_host``); device batches run in compiled fast precision.
+    """
+
+    def __init__(self, sub_matrix: np.ndarray, sizes: Sequence[int], dtype=np.float32):
+        sub = np.asarray(sub_matrix, dtype=np.float64)
+        self.sizes = np.asarray(sizes, dtype=np.int64)
+        self.S = len(self.sizes)
+        self.C = int(self.sizes.sum())
+        assert sub.shape == (self.C, self.C), (sub.shape, self.C)
+        self.total = upper_triangle_total(sub)
+        self.degenerate = self.total == 0.0
+        self.w = harmonic_weights(self.C, self.total)
+        self._sub = sub
+
+        sid = np.repeat(np.arange(self.S), self.sizes)
+        loc = np.concatenate([np.arange(c) for c in self.sizes])
+        cmax = int(self.sizes.max())
+        self.cmax, self.L = cmax, 2 * cmax - 1
+
+        iu = np.triu_indices(self.C, k=1)
+        same = sid[iu[0]] == sid[iu[1]]
+        # intra-scaffold pairs: weight depends only on |loc difference|
+        # so their cost contribution is constant across all candidates.
+        self.c0 = float(
+            (sub[iu][same] * self.w[(iu[1] - iu[0])[same]]).sum()
+        ) if not self.degenerate else 0.0
+
+        # scaffold-pair diagonal/antidiagonal profiles h[row, m]:
+        # row = ((s*S + t)*2 + e_s)*2 + e_t; m = j_off + (cmax - 1) where
+        # j_off is the position-delta contribution of entry (a, b).
+        ii, jj = np.where(sid[:, None] != sid[None, :])
+        vals = sub[ii, jj]
+        s, t = sid[ii], sid[jj]
+        a, b = loc[ii], loc[jj]
+        cs, ct = self.sizes[s], self.sizes[t]
+        base = (s * self.S + t) * 4
+        shift = cmax - 1
+        m_by_e = [
+            (b - a) + shift,                  # e=0: (+,+)
+            (ct - 1 - (a + b)) + shift,       # e=1: (+,-)
+            ((a + b) - cs + 1) + shift,       # e=2: (-,+)
+            ((ct - cs) - (b - a)) + shift,    # e=3: (-,-)
+        ]
+        nrows = 4 * self.S * self.S
+        flat = np.concatenate([(base + e) * self.L + m for e, m in enumerate(m_by_e)])
+        weights = np.concatenate([vals] * 4)
+        self.h = np.bincount(flat, weights=weights, minlength=nrows * self.L).reshape(
+            nrows, self.L
+        )
+
+        # F[row, delta] = sum_m h[row, m] * w(delta + m - (cmax-1))
+        deltas = np.arange(self.C + 1)
+        darg = deltas[None, :] + (np.arange(self.L) - shift)[:, None]
+        valid = (darg >= 1) & (darg <= self.C - 1)
+        Wm = np.where(valid, self.w[np.clip(darg, 0, self.C - 1)], 0.0)
+        if dtype == np.float64:
+            F = self.h @ Wm
+        else:
+            F = np.asarray(
+                jnp.dot(
+                    jnp.asarray(self.h.astype(dtype)),
+                    jnp.asarray(Wm.astype(dtype)),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        self._F_flat = jnp.asarray(F.reshape(-1))
+        self._sizes_d = jnp.asarray(self.sizes.astype(np.int32))
+        # exact-mode residuals for score_host
+        self._Wm64 = Wm
+        self._shift = shift
+
+    def score_batch(
+        self, orders: np.ndarray, orients: np.ndarray, chunk_orders: int = 2048
+    ) -> np.ndarray:
+        """Costs for the full (order x orientation) grid.
+
+        Returns float[Bo * R] in candidate order (order-major,
+        orientation-fastest — the reference's nested loop,
+        orderGenome.py:457-458).
+        """
+        Bo, S = orders.shape
+        R = orients.shape[0]
+        if self.degenerate:
+            return np.zeros(Bo * R, dtype=np.float64)
+        pi, pj = np.triu_indices(S, k=1)
+        e_pair = (orients[:, pi] * 2 + orients[:, pj]).astype(np.int32)  # [R, P]
+        out = np.empty((Bo, R), dtype=np.float64)
+        pi_d, pj_d = jnp.asarray(pi.astype(np.int32)), jnp.asarray(pj.astype(np.int32))
+        e_d = jnp.asarray(e_pair)
+        c0_d = jnp.asarray(self.c0, dtype=self._F_flat.dtype)
+        for ofs in range(0, Bo, chunk_orders):
+            chunk = jnp.asarray(orders[ofs : ofs + chunk_orders].astype(np.int32))
+            out[ofs : ofs + chunk_orders] = np.asarray(
+                _block_score_kernel(
+                    self._F_flat, self._sizes_d, chunk, e_d, pi_d, pj_d, c0_d, self.C + 1
+                )
+            )
+        return out.reshape(-1)
+
+    def score_host(self, order: Sequence[int], orient: Sequence[int]) -> float:
+        """Reference-exact f64 cost for one (order, orientation)."""
+        if self.degenerate:
+            return 0.0
+        bin_order = bin_order_of_block(order, orient, self.sizes)
+        gathered = self._sub[np.ix_(bin_order, bin_order)]
+        return oracle.cost_function(gathered, self.total)
+
+
+# ---------------------------------------------------------------------------
+# Decision rule
+# ---------------------------------------------------------------------------
+
+
+def argmax_reference_ties(
+    costs: np.ndarray,
+    rescore: Optional[Callable[[int], float]] = None,
+    k: int = 64,
+    rel_tol: float = 1e-12,
+) -> Tuple[int, float]:
+    """Pick the winning candidate the way the reference does.
+
+    The reference keeps the FIRST candidate that is strictly greater
+    than the running best, i.e. the earliest index attaining the max.
+    Device costs are fast-precision, so the top-k are optionally
+    re-scored with ``rescore(index) -> f64`` before the final argmax;
+    candidates within ``rel_tol`` of the best count as ties and the
+    earliest index wins.
+    """
+    n = costs.shape[0]
+    if n == 0:
+        raise ValueError("no candidates")
+    if rescore is None or n <= 1:
+        best = float(costs.max())
+        ties = np.nonzero(costs >= best - rel_tol * max(abs(best), 1.0))[0]
+        return int(ties[0]), best
+    k = min(k, n)
+    top = np.argpartition(-costs, k - 1)[:k]
+    exact = {int(i): float(rescore(int(i))) for i in top}
+    best = max(exact.values())
+    tol = rel_tol * max(abs(best), 1.0)
+    winners = sorted(i for i, c in exact.items() if c >= best - tol)
+    return winners[0], exact[winners[0]]

@@ -1,0 +1,90 @@
+"""Contact-map heatmap with chromosome outlines.
+
+Capability parity with plotContactMaps.py:15-91: plasma colormap
+(optionally reversed), percentile-clipped color range, Mb-labeled ticks,
+white group outlines from cut indices, Agg backend, save-to-png.
+Implemented directly on matplotlib (the reference's xarray wrapper adds
+nothing on TPU hosts).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def plot_contact_map(
+    adj_mat: np.ndarray,
+    resolution: int = 100_000,
+    tick_count: int = 11,
+    highlight_chroms: Optional[Sequence[int]] = None,
+    w_inches: float = 32,
+    h_inches: float = 32,
+    low_pct: float = 1,
+    high_pct: float = 98,
+    reverse_color_map: str = "_r",
+    save_plot: Optional[str] = None,
+    title: Optional[str] = None,
+    title_suffix: Optional[str] = None,
+) -> None:
+    """Render and optionally save the heatmap.
+
+    ``reverse_color_map='_r'`` (plasma_r) suits distance matrices;
+    ``''`` suits similarity matrices (plotContactMaps.py:28).
+    """
+    adj_mat = np.asarray(adj_mat)
+    n = len(adj_mat)
+    start = time.time()
+    fig, ax = plt.subplots()
+    fig.set_size_inches(w_inches, h_inches)
+    ax.pcolormesh(
+        np.arange(n + 1),
+        np.arange(n + 1),
+        adj_mat[::-1],
+        cmap="plasma" + reverse_color_map,
+        vmin=np.percentile(adj_mat, low_pct),
+        vmax=np.percentile(adj_mat, high_pct),
+    )
+    if highlight_chroms:
+        prev = 0
+        for index in highlight_chroms:
+            ax.plot([prev, index], [n - prev, n - prev], color="white")
+            ax.plot([prev, index], [n - index, n - index], color="white")
+            ax.plot([prev, prev], [n - index, n - prev], color="white")
+            ax.plot([index, index], [n - index, n - prev], color="white")
+            prev = index
+        ax.plot([prev, n], [n - prev, n - prev], color="white")
+        ax.plot([prev, prev], [0, n - prev], color="white")
+
+    tick_dist = n / tick_count
+    ticks = [0.0]
+    acc = 0.0
+    for _ in range(tick_count - 1):
+        acc += tick_dist
+        ticks.append(acc)
+    ticks.append(float(n))
+    ax.set_xticks(ticks)
+    ax.set_xticklabels(
+        [f"{int((t * resolution) / 1_000_000)} Mb" for t in ticks], size=18
+    )
+    ax.set_xlabel("")
+    yticks = ticks[1:]
+    ax.set_yticks(yticks)
+    ax.set_yticklabels(
+        [f"{int((t * resolution) / 1_000_000)} Mb" for t in yticks], size=18
+    )
+    ax.set_ylabel("")
+    if title:
+        if title_suffix:
+            title = title + title_suffix
+        ax.set_title(title, size=25)
+    if save_plot:
+        plt.savefig(save_plot)
+    plt.close(fig)
+    print("Time to rearrange matrix and plot " + str(time.time() - start))
