@@ -69,7 +69,7 @@ class SyntheticGenome:
 def make_genome(
     chrom_scaffold_bins: Sequence[Sequence[int]] = ((12, 8, 6, 4, 3), (10, 7, 5, 2)),
     resolution: int = 10_000,
-    decay_tau: float = 4.0,
+    decay_alpha: float = 1.0,
     contact_scale: float = 100.0,
     noise: float = 0.01,
     cross_noise_frac: float = 0.002,
@@ -133,7 +133,9 @@ def make_genome(
 
     same = chrom_of[:, None] == chrom_of[None, :]
     dist = np.abs(pos_of[:, None] - pos_of[None, :])
-    matrix = np.where(same, contact_scale * np.exp(-dist / decay_tau), 0.0)
+    # power-law contact decay ~ P(s) of real Hi-C: long-range
+    # intra-chromosome signal stays well above inter-chromosome noise
+    matrix = np.where(same, contact_scale / (1.0 + dist) ** decay_alpha, 0.0)
     np.fill_diagonal(matrix, contact_scale)
 
     if noise > 0:
