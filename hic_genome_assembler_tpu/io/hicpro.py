@@ -71,11 +71,23 @@ def initiate_loci(
 
 
 def read_coo_matrix(matrix_file: str) -> np.ndarray:
-    """Read the raw ``iced.matrix`` COO triplets into an (nnz, 3) array."""
-    rows = np.loadtxt(matrix_file, dtype=np.float64, ndmin=2)
-    if rows.size == 0:
-        return np.zeros((0, 3), dtype=np.float64)
-    return rows
+    """Read the raw ``iced.matrix`` COO triplets into an (nnz, 3) array.
+
+    Uses pandas' C parser (~10x numpy.loadtxt) — the matrix file holds up
+    to ~10^8 triplets at 100 Kb resolution on a 1.6 Gb genome.
+    """
+    try:
+        import pandas as pd
+
+        frame = pd.read_csv(
+            matrix_file, sep="\t", header=None, dtype=np.float64, engine="c"
+        )
+        return frame.to_numpy()
+    except Exception:
+        rows = np.loadtxt(matrix_file, dtype=np.float64, ndmin=2)
+        if rows.size == 0:
+            return np.zeros((0, 3), dtype=np.float64)
+        return rows
 
 
 def build_adjacency_matrix(

@@ -1,0 +1,99 @@
+"""ctypes bindings for the native C++ IO runtime.
+
+The compute path is JAX/XLA; the IO runtime around it is native where
+the data volume warrants it — here, the validPairs stream filter
+(orientSmallScaffolds.py:159-177's hot loop #3, SURVEY.md §3.3).  The
+shared library is built on demand with g++ -O3 and cached next to the
+sources; every native entry point has a pure-Python fallback at its call
+site, so the framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Optional, Tuple
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libhicio.so")
+_SOURCES = [os.path.join(_NATIVE_DIR, "validpairs_scanner.cpp")]
+
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO_PATH, *_SOURCES],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+        print(f"- native IO build failed ({exc}); using pure-Python fallbacks")
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.exists(_SO_PATH) or any(
+        os.path.getmtime(src) > os.path.getmtime(_SO_PATH) for src in _SOURCES
+    ):
+        if not _build():
+            _build_failed = True
+            return None
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.scan_validpairs.restype = ctypes.c_int
+    lib.scan_validpairs.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.free_buffer.argtypes = [ctypes.POINTER(ctypes.c_char)]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def scan_validpairs(
+    pair_file: str, pair_dict: Dict[Tuple[str, str], list]
+) -> Dict[Tuple[str, str], list]:
+    """Native filter of the validPairs stream into pair_dict.
+
+    Produces records identical to the Python path:
+    [scaff1, scaff2, int(pos1), int(pos2)] appended per matching line.
+    """
+    lib = _load()
+    assert lib is not None
+    keys = "\n".join(f"{a}\t{b}" for a, b in pair_dict.keys())
+    out_data = ctypes.POINTER(ctypes.c_char)()
+    out_len = ctypes.c_int64()
+    rc = lib.scan_validpairs(
+        pair_file.encode(),
+        keys.encode(),
+        len(pair_dict),
+        ctypes.byref(out_data),
+        ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise OSError(f"native validpairs scan failed on {pair_file} (rc={rc})")
+    try:
+        blob = ctypes.string_at(out_data, out_len.value).decode()
+    finally:
+        if out_len.value:
+            lib.free_buffer(out_data)
+    for line in blob.splitlines():
+        s1, s2, p1, p2 = line.split("\t")
+        pair_dict[(s1, s2)].append([s1, s2, int(p1), int(p2)])
+    return pair_dict
