@@ -122,6 +122,39 @@ class DirectScorer:
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("S", "L", "cmax", "C"))
+def _build_pair_table(sub, sid, loc, sizes, wpad, S, L, cmax, C):
+    """Device-side F-table build: one scatter-add + one matmul.
+
+    h[row, m] accumulates every cross-scaffold matrix entry at its
+    orientation-specific offset; F[row, delta] = sum_m h[row, m] *
+    w(delta + m - (cmax-1)).
+    """
+    s, t = sid[:, None], sid[None, :]
+    a, b = loc[:, None], loc[None, :]
+    cs, ct = sizes[sid][:, None], sizes[sid][None, :]
+    base = (s * S + t) * 4
+    shift = cmax - 1
+    vals = jnp.where(s != t, sub, 0.0).ravel()
+    nrows = 4 * S * S
+    h = jnp.zeros(nrows * L, dtype=sub.dtype)
+    for e, mm in enumerate(
+        (
+            (b - a) + shift,                 # e=0: (+,+)
+            (ct - 1 - (a + b)) + shift,      # e=1: (+,-)
+            ((a + b) - cs + 1) + shift,      # e=2: (-,+)
+            ((ct - cs) - (b - a)) + shift,   # e=3: (-,-)
+        )
+    ):
+        idx = ((base + e) * L + jnp.clip(mm, 0, L - 1)).ravel()
+        h = h.at[idx].add(vals)
+    h = h.reshape(nrows, L)
+    # Wm[m, delta] = wpad[delta + m - shift] (0 outside [1, C-1])
+    darg = jnp.arange(C + 1)[None, :] + (jnp.arange(L) - shift)[:, None]
+    Wm = jnp.where((darg >= 1) & (darg <= C - 1), wpad[jnp.clip(darg, 0, C)], 0.0)
+    return jnp.dot(h, Wm, preferred_element_type=h.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("Cp1",))
 def _block_score_kernel(
     F_flat: jnp.ndarray,
@@ -163,8 +196,8 @@ class BlockScorer:
         self.w = harmonic_weights(self.C, self.total)
         self._sub = sub
 
-        sid = np.repeat(np.arange(self.S), self.sizes)
-        loc = np.concatenate([np.arange(c) for c in self.sizes])
+        sid = np.repeat(np.arange(self.S), self.sizes).astype(np.int32)
+        loc = np.concatenate([np.arange(c) for c in self.sizes]).astype(np.int32)
         cmax = int(self.sizes.max())
         self.cmax, self.L = cmax, 2 * cmax - 1
 
@@ -176,49 +209,25 @@ class BlockScorer:
             (sub[iu][same] * self.w[(iu[1] - iu[0])[same]]).sum()
         ) if not self.degenerate else 0.0
 
-        # scaffold-pair diagonal/antidiagonal profiles h[row, m]:
-        # row = ((s*S + t)*2 + e_s)*2 + e_t; m = j_off + (cmax - 1) where
-        # j_off is the position-delta contribution of entry (a, b).
-        ii, jj = np.where(sid[:, None] != sid[None, :])
-        vals = sub[ii, jj]
-        s, t = sid[ii], sid[jj]
-        a, b = loc[ii], loc[jj]
-        cs, ct = self.sizes[s], self.sizes[t]
-        base = (s * self.S + t) * 4
-        shift = cmax - 1
-        m_by_e = [
-            (b - a) + shift,                  # e=0: (+,+)
-            (ct - 1 - (a + b)) + shift,       # e=1: (+,-)
-            ((a + b) - cs + 1) + shift,       # e=2: (-,+)
-            ((ct - cs) - (b - a)) + shift,    # e=3: (-,-)
-        ]
-        nrows = 4 * self.S * self.S
-        flat = np.concatenate([(base + e) * self.L + m for e, m in enumerate(m_by_e)])
-        weights = np.concatenate([vals] * 4)
-        self.h = np.bincount(flat, weights=weights, minlength=nrows * self.L).reshape(
-            nrows, self.L
+        # F[row, delta] built on device: scatter the scaffold-pair
+        # diagonal/antidiagonal profiles h[row, m] (row = ((s*S+t)*2 +
+        # e_s)*2 + e_t, m = position-delta offset) then one MXU matmul
+        # against the shifted harmonic-weight matrix.
+        wpad = np.zeros(self.C + 1, dtype=np.float64)
+        wpad[1 : self.C] = self.w[1:]
+        F = _build_pair_table(
+            jnp.asarray(sub.astype(dtype)),
+            jnp.asarray(sid),
+            jnp.asarray(loc),
+            jnp.asarray(self.sizes.astype(np.int32)),
+            jnp.asarray(wpad.astype(dtype)),
+            self.S,
+            self.L,
+            cmax,
+            self.C,
         )
-
-        # F[row, delta] = sum_m h[row, m] * w(delta + m - (cmax-1))
-        deltas = np.arange(self.C + 1)
-        darg = deltas[None, :] + (np.arange(self.L) - shift)[:, None]
-        valid = (darg >= 1) & (darg <= self.C - 1)
-        Wm = np.where(valid, self.w[np.clip(darg, 0, self.C - 1)], 0.0)
-        if dtype == np.float64:
-            F = self.h @ Wm
-        else:
-            F = np.asarray(
-                jnp.dot(
-                    jnp.asarray(self.h.astype(dtype)),
-                    jnp.asarray(Wm.astype(dtype)),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        self._F_flat = jnp.asarray(F.reshape(-1))
+        self._F_flat = F.reshape(-1)
         self._sizes_d = jnp.asarray(self.sizes.astype(np.int32))
-        # exact-mode residuals for score_host
-        self._Wm64 = Wm
-        self._shift = shift
 
     def score_batch(
         self, orders: np.ndarray, orients: np.ndarray, chunk_orders: int = 2048
@@ -240,12 +249,21 @@ class BlockScorer:
         e_d = jnp.asarray(e_pair)
         c0_d = jnp.asarray(self.c0, dtype=self._F_flat.dtype)
         for ofs in range(0, Bo, chunk_orders):
-            chunk = jnp.asarray(orders[ofs : ofs + chunk_orders].astype(np.int32))
-            out[ofs : ofs + chunk_orders] = np.asarray(
+            chunk = orders[ofs : ofs + chunk_orders].astype(np.int32)
+            n_real = chunk.shape[0]
+            if n_real < chunk_orders and Bo > chunk_orders:
+                # pad the ragged tail to the steady-state shape so every
+                # chunk hits the same compiled executable
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], chunk_orders - n_real, axis=0)]
+                )
+            scored = np.asarray(
                 _block_score_kernel(
-                    self._F_flat, self._sizes_d, chunk, e_d, pi_d, pj_d, c0_d, self.C + 1
+                    self._F_flat, self._sizes_d, jnp.asarray(chunk), e_d, pi_d, pj_d,
+                    c0_d, self.C + 1,
                 )
             )
+            out[ofs : ofs + n_real] = scored[:n_real]
         return out.reshape(-1)
 
     def score_host(self, order: Sequence[int], orient: Sequence[int]) -> float:
