@@ -85,9 +85,10 @@ def initiate_bins_and_scaffolds(
 class _ChromosomeContext:
     """Full-genome matrix + binID -> row index lookup."""
 
-    def __init__(self, matrix: np.ndarray, bin_list: List[hicpro.Bin]):
+    def __init__(self, matrix: np.ndarray, bin_list: List[hicpro.Bin], mesh=None):
         self.matrix = np.asarray(matrix, dtype=np.float64)
         self.bin_index = {b.ID: i for i, b in enumerate(bin_list)}
+        self.mesh = mesh
 
     def gather(self, bin_ids: Sequence[int]) -> np.ndarray:
         idx = [self.bin_index[b] for b in bin_ids]
@@ -112,7 +113,7 @@ def brute_force_best(
     sizes = [s.n_bins for s in head]
     canonical_bins = [b for s in head for b in s.bins_asc]
     sub = ctx.gather(canonical_bins)
-    scorer = cost_ops.BlockScorer(sub, sizes)
+    scorer = cost_ops.BlockScorer(sub, sizes, mesh=ctx.mesh)
     orders = perms.order_batch(len(head))
     orients = perms.orient_batch(len(head))
     if scorer.degenerate:
@@ -183,7 +184,7 @@ def order_remainder_scaffolds(
         sub_bins = [b for s in ordered for b in s.bin_seq] + new.bins_asc
         id_to_idx = {b: i for i, b in enumerate(sub_bins)}
         sub = ctx.gather(sub_bins)
-        scorer = cost_ops.DirectScorer(sub)
+        scorer = cost_ops.DirectScorer(sub, mesh=ctx.mesh)
 
         cands, meta = _greedy_candidates(ordered, new)
         orders = np.asarray(
@@ -218,7 +219,7 @@ def scan_ordering(
     matrix (scanOrdering, orderGenome.py:495-549)."""
     canonical_bins = [b for s in ordered for b in s.bin_seq]
     id_to_idx = {b: i for i, b in enumerate(canonical_bins)}
-    scorer = cost_ops.DirectScorer(ctx.gather(canonical_bins))
+    scorer = cost_ops.DirectScorer(ctx.gather(canonical_bins), mesh=ctx.mesh)
     w = scan_scaffolds
     round_number = 0
     while True:
@@ -309,10 +310,11 @@ def order_genome(
     plot_chrom: bool = True,
     save_plot_dir: Optional[str] = None,
     plot_title_suffix: Optional[str] = None,
+    mesh=None,
 ) -> List[List[Scaffold]]:
     """All chromosomes (orderGenome.py:591-628)."""
     start = time.time()
-    ctx = _ChromosomeContext(matrix, bin_list)
+    ctx = _ChromosomeContext(matrix, bin_list, mesh=mesh)
     genome_order: List[List[Scaffold]] = []
     for i, chrom_group in enumerate(chrom_list):
         print("#####################\n#####################")
@@ -366,6 +368,7 @@ def run_pipeline(
     n_scaffolds: int,
     scan_scaffolds: int,
     resolution: int,
+    mesh=None,
 ) -> None:
     """Part 2 driver (orderGenome.py:679-712)."""
     print("########################################")
@@ -386,6 +389,7 @@ def run_pipeline(
         plot_chrom=True,
         save_plot_dir=save_plots_directory,
         plot_title_suffix=chromosome_plot_suffix,
+        mesh=mesh,
     )
 
     outline = get_chromosome_outline_coords(genome_order)

@@ -86,7 +86,14 @@ def _direct_score_kernel(m: jnp.ndarray, w2: jnp.ndarray, orders: jnp.ndarray) -
 class DirectScorer:
     """Batched scoring of arbitrary bin orders over one submatrix."""
 
-    def __init__(self, sub_matrix: np.ndarray, dtype=np.float32, chunk_elems: int = 1 << 26):
+    def __init__(
+        self,
+        sub_matrix: np.ndarray,
+        dtype=np.float32,
+        chunk_elems: int = 1 << 26,
+        mesh=None,
+    ):
+        self._mesh = mesh
         self.m64 = np.asarray(sub_matrix, dtype=np.float64)
         self.C = self.m64.shape[0]
         self.total = upper_triangle_total(self.m64)
@@ -104,8 +111,16 @@ class DirectScorer:
             return np.zeros(orders.shape[0], dtype=np.float64)
         out = []
         for ofs in range(0, orders.shape[0], self._chunk):
-            chunk = jnp.asarray(orders[ofs : ofs + self._chunk].astype(np.int32))
-            out.append(np.asarray(_direct_score_kernel(self._md, self._w2d, chunk)))
+            chunk = orders[ofs : ofs + self._chunk].astype(np.int32)
+            n_real = chunk.shape[0]
+            if self._mesh is None:
+                chunk_d = jnp.asarray(chunk)
+            else:
+                from hic_genome_assembler_tpu.parallel import mesh as pm
+
+                chunk_d, _ = pm.put_batch_padded(self._mesh, chunk)
+            scored = np.asarray(_direct_score_kernel(self._md, self._w2d, chunk_d))
+            out.append(scored[:n_real])
         return np.concatenate(out).astype(np.float64)
 
     def score_host(self, order: np.ndarray) -> float:
@@ -185,7 +200,17 @@ class BlockScorer:
     (``score_host``); device batches run in compiled fast precision.
     """
 
-    def __init__(self, sub_matrix: np.ndarray, sizes: Sequence[int], dtype=np.float32):
+    def __init__(
+        self,
+        sub_matrix: np.ndarray,
+        sizes: Sequence[int],
+        dtype=np.float32,
+        mesh=None,
+    ):
+        """``mesh``: optional jax.sharding.Mesh — candidate batches are
+        then sharded over its data axis (DP) with the table replicated,
+        and XLA partitions the gather+reduction across chips."""
+        self._mesh = mesh
         sub = np.asarray(sub_matrix, dtype=np.float64)
         self.sizes = np.asarray(sizes, dtype=np.int64)
         self.S = len(self.sizes)
@@ -257,14 +282,23 @@ class BlockScorer:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], chunk_orders - n_real, axis=0)]
                 )
+            chunk_d = self._put_batch(chunk)
             scored = np.asarray(
                 _block_score_kernel(
-                    self._F_flat, self._sizes_d, jnp.asarray(chunk), e_d, pi_d, pj_d,
+                    self._F_flat, self._sizes_d, chunk_d, e_d, pi_d, pj_d,
                     c0_d, self.C + 1,
                 )
             )
             out[ofs : ofs + n_real] = scored[:n_real]
         return out.reshape(-1)
+
+    def _put_batch(self, chunk: np.ndarray):
+        if self._mesh is None:
+            return jnp.asarray(chunk)
+        from hic_genome_assembler_tpu.parallel import mesh as pm
+
+        arr, _n = pm.put_batch_padded(self._mesh, chunk)
+        return arr
 
     def score_host(self, order: Sequence[int], orient: Sequence[int]) -> float:
         """Reference-exact f64 cost for one (order, orientation)."""

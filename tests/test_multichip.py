@@ -1,0 +1,81 @@
+"""Multi-device paths: sharded scorers and the fused pipeline step must
+agree with single-device results on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from hic_genome_assembler_tpu.ops import cost, perms
+from hic_genome_assembler_tpu.parallel import mesh as pm
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return pm.make_mesh((8, 1))
+
+
+def _problem(seed=0, sizes=(5, 4, 3, 2)):
+    rng = np.random.default_rng(seed)
+    C = sum(sizes)
+    m = rng.random((C, C))
+    m = np.triu(m, 1)
+    m = m + m.T + np.diag(rng.random(C))
+    return m, list(sizes)
+
+
+def test_block_scorer_sharded_equals_local(mesh8):
+    m, sizes = _problem()
+    orders = perms.order_batch(len(sizes))
+    orients = perms.orient_batch(len(sizes))
+    local = cost.BlockScorer(m, sizes, dtype=np.float64).score_batch(orders, orients)
+    sharded = cost.BlockScorer(m, sizes, dtype=np.float64, mesh=mesh8).score_batch(
+        orders, orients
+    )
+    np.testing.assert_allclose(sharded, local, rtol=1e-12)
+
+
+def test_direct_scorer_sharded_equals_local(mesh8):
+    m, _ = _problem(1)
+    rng = np.random.default_rng(2)
+    orders = np.stack([rng.permutation(m.shape[0]) for _ in range(13)]).astype(np.int32)
+    local = cost.DirectScorer(m, dtype=np.float64).score(orders)
+    sharded = cost.DirectScorer(m, dtype=np.float64, mesh=mesh8).score(orders)
+    np.testing.assert_allclose(sharded, local, rtol=1e-12)
+
+
+def test_part2_chromosome_with_mesh(mesh8):
+    """order_chromosome under a mesh context gives the identical result."""
+    from hic_genome_assembler_tpu.io import hicpro
+    from hic_genome_assembler_tpu.models import part2_order
+    from hic_genome_assembler_tpu.utils import fixtures
+
+    g = fixtures.make_genome(
+        chrom_scaffold_bins=((8, 6, 4, 3),), seed=23, noise=0.002, cross_noise_frac=0.0
+    )
+    bins = [
+        hicpro.Bin(bid, s.name, 0, 0, 1.0, 0.0)
+        for s in g.scaffolds
+        for bid in s.bin_ids
+    ]
+    group = []
+    for name in g.true_groups()[0]:
+        s = g.scaffold(name)
+        group.extend([bid, name] for bid in s.bin_ids)
+
+    ctx_local = part2_order._ChromosomeContext(g.matrix, bins)
+    ctx_mesh = part2_order._ChromosomeContext(g.matrix, bins, mesh=mesh8)
+    rec_local = part2_order.order_chromosome(group, ctx_local, 3, 3)
+    local = [(s.name, s.orientation) for s in rec_local]
+    rec_mesh = part2_order.order_chromosome(group, ctx_mesh, 3, 3)
+    sharded = [(s.name, s.orientation) for s in rec_mesh]
+    assert local == sharded
+
+
+def test_fused_step_runs_on_mesh(mesh8):
+    from hic_genome_assembler_tpu.parallel import pipeline_step
+
+    step = pipeline_step.make_fused_step(mesh8)
+    inputs = pipeline_step.example_inputs(mesh8)
+    dist, counts, costs, best = step(*inputs)
+    assert len(dist.sharding.device_set) == 8
+    assert counts.shape == (64,)
+    assert 0 <= int(best) < costs.shape[0]
