@@ -175,20 +175,28 @@ def _block_score_kernel(
     F_flat: jnp.ndarray,
     sizes: jnp.ndarray,
     orders: jnp.ndarray,   # [Bo, S]
-    e_pair: jnp.ndarray,   # [R, P]
+    e_onehot: jnp.ndarray, # [P*4, R] one-hot orientation selectors
     pi: jnp.ndarray,       # [P]
     pj: jnp.ndarray,       # [P]
     c0: jnp.ndarray,
     Cp1: int,
 ) -> jnp.ndarray:
+    """Scores all R orientation combos of each order with P*4 gathers per
+    order + one MXU matmul: the 4 orientation variants of every pair's
+    table entry are fetched once and combined across combos by the
+    precomputed one-hot selector matrix (64x fewer gathers than the
+    naive [Bo, R, P] gather)."""
     S = orders.shape[1]
+    Bo, P = orders.shape[0], pi.shape[0]
     sz = sizes[orders]
     offs = jnp.cumsum(sz, axis=1) - sz
     s_i, s_j = orders[:, pi], orders[:, pj]              # [Bo, P]
     delta = offs[:, pj] - offs[:, pi]                    # [Bo, P]
     pair_base = (s_i * S + s_j) * 4                      # [Bo, P]
-    idx = (pair_base[:, None, :] + e_pair[None, :, :]) * Cp1 + delta[:, None, :]
-    return F_flat[idx].sum(axis=-1) + c0                 # [Bo, R]
+    idx = (pair_base[:, :, None] + jnp.arange(4, dtype=orders.dtype)) * Cp1 \
+        + delta[:, :, None]                              # [Bo, P, 4]
+    f_vals = F_flat[idx].reshape(Bo, P * 4)
+    return jnp.dot(f_vals, e_onehot, preferred_element_type=f_vals.dtype) + c0
 
 
 class BlockScorer:
@@ -269,9 +277,13 @@ class BlockScorer:
             return np.zeros(Bo * R, dtype=np.float64)
         pi, pj = np.triu_indices(S, k=1)
         e_pair = (orients[:, pi] * 2 + orients[:, pj]).astype(np.int32)  # [R, P]
+        P = len(pi)
+        e_onehot = np.zeros((P * 4, R), dtype=self._F_flat.dtype)
+        for r in range(R):
+            e_onehot[np.arange(P) * 4 + e_pair[r], r] = 1.0
         out = np.empty((Bo, R), dtype=np.float64)
         pi_d, pj_d = jnp.asarray(pi.astype(np.int32)), jnp.asarray(pj.astype(np.int32))
-        e_d = jnp.asarray(e_pair)
+        e_d = jnp.asarray(e_onehot)
         c0_d = jnp.asarray(self.c0, dtype=self._F_flat.dtype)
         for ofs in range(0, Bo, chunk_orders):
             chunk = orders[ofs : ofs + chunk_orders].astype(np.int32)
