@@ -22,12 +22,21 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) or ".")
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from hic_genome_assembler_tpu.ops import cost, oracle, perms  # noqa: E402
 
@@ -43,32 +52,36 @@ def build_problem(C=2048, seed=0):
     return m, sizes
 
 
-def bench_tpu(m, sizes, orders, orients):
-    # warm up / compile on a small slice with the same shapes per chunk
+def bench_tpu(m, sizes, orders, orients, chunk=10080):
+    # warm up / compile with the same chunk shape as the timed run
     scorer = cost.BlockScorer(m, sizes, dtype=np.float32)
-    scorer.score_batch(orders[:2048], orients)
+    scorer.score_batch_topk(orders[:chunk], orients, chunk_orders=chunk)
     start = time.time()
     scorer = cost.BlockScorer(m, sizes, dtype=np.float32)  # include table build
-    costs = scorer.score_batch(orders, orients)
+    idx, vals = scorer.score_batch_topk(orders, orients, chunk_orders=chunk)
     elapsed = time.time() - start
     n_cand = len(orders) * len(orients)
-    best = int(np.argmax(costs))
+    best = int(idx[int(np.argmax(vals))])
     return n_cand / elapsed, elapsed, best
 
 
-def bench_reference_style(m, sizes, orders, orients, sample=12):
+def bench_reference_style(m, sizes, orders, orients, sample=8, batches=3):
+    """Best-of-N batches so transient host contention can only make the
+    baseline FASTER (keeping vs_baseline conservative)."""
     total = cost.upper_triangle_total(m)
     rng = np.random.default_rng(1)
     R = len(orients)
-    picks = rng.integers(0, len(orders) * R, sample)
-    start = time.time()
-    for flat in picks:
-        o, r = orders[flat // R], orients[flat % R]
-        bo = cost.bin_order_of_block(o, r, sizes)
-        gathered = m[np.ix_(bo, bo)]
-        oracle.cost_function(gathered, total)
-    elapsed = time.time() - start
-    return sample / elapsed
+    best_rate = 0.0
+    for _ in range(batches):
+        picks = rng.integers(0, len(orders) * R, sample)
+        start = time.time()
+        for flat in picks:
+            o, r = orders[flat // R], orients[flat % R]
+            bo = cost.bin_order_of_block(o, r, sizes)
+            gathered = m[np.ix_(bo, bo)]
+            oracle.cost_function(gathered, total)
+        best_rate = max(best_rate, sample / (time.time() - start))
+    return best_rate
 
 
 def main():

@@ -131,10 +131,10 @@ def brute_force_best(
         return _apply_block_choice(head, orders[0], orients[0]), 0.0
     n_cand = len(orders) * len(orients)
     print("Initial permutations to test " + str(n_cand) + "...")
-    costs = scorer.score_batch(orders, orients)
     R = len(orients)
-    winner, best = cost_ops.argmax_reference_ties(
-        costs,
+    cand_idx, _vals = scorer.score_batch_topk(orders, orients)
+    winner, best = cost_ops.argmax_reference_ties_sparse(
+        cand_idx,
         rescore=lambda i: scorer.score_host(orders[i // R], orients[i % R]),
     )
     return _apply_block_choice(head, orders[winner // R], orients[winner % R]), best

@@ -199,6 +199,33 @@ def _block_score_kernel(
     return jnp.dot(f_vals, e_onehot, preferred_element_type=f_vals.dtype) + c0
 
 
+@functools.partial(jax.jit, static_argnames=("Cp1", "k"))
+def _block_score_topk_kernel(F_flat, sizes, orders, e_onehot, pi, pj, c0, Cp1, k):
+    """Block scores + on-device candidate selection: only 2k scalars
+    leave the chip.
+
+    Selection is a group-argmax over k contiguous index groups rather
+    than lax.top_k (whose fused sort costs ~100s of XLA compile at this
+    size vs <1s for plain reductions).  Guarantees: the global maximum
+    is always returned (it is its own group's max), exact ties in OTHER
+    groups are returned, and within a group argmax takes the lowest
+    index — matching the reference's first-strictly-greater update.
+    Near-ties inside the winner's group can be dropped; the host f64
+    re-scoring set is k candidates wide to absorb fast-precision noise.
+    """
+    costs = _block_score_kernel(F_flat, sizes, orders, e_onehot, pi, pj, c0, Cp1)
+    flat = costs.ravel()
+    n = flat.shape[0]
+    pad = (-n) % k
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full((pad,), -jnp.inf, flat.dtype)])
+    groups = flat.reshape(k, -1)
+    vals = jnp.max(groups, axis=1)
+    local = jnp.argmax(groups, axis=1).astype(jnp.int32)
+    idx = jnp.arange(k, dtype=jnp.int32) * groups.shape[1] + local
+    return vals, idx
+
+
 class BlockScorer:
     """Brute-force scorer over scaffold-level (order, orientation) batches.
 
@@ -304,6 +331,61 @@ class BlockScorer:
             out[ofs : ofs + n_real] = scored[:n_real]
         return out.reshape(-1)
 
+    def score_batch_topk(
+        self,
+        orders: np.ndarray,
+        orients: np.ndarray,
+        k: int = 64,
+        chunk_orders: int = 10080,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k candidates without materializing all costs on host.
+
+        Returns (global candidate indices, fast-precision costs), both
+        length <= k, unordered beyond being the per-chunk top-k merge.
+        Global index = order_idx * R + orient_idx (reference enumeration
+        order).  The full-cost path (``score_batch``) moves Bo*R floats
+        across the host link; this moves 2k per chunk — the difference
+        between ~3M and ~200M candidate evaluations/s over a thin
+        host<->device link.
+        """
+        Bo, S = orders.shape
+        R = orients.shape[0]
+        if self.degenerate:
+            return np.arange(min(k, Bo * R)), np.zeros(min(k, Bo * R))
+        pi, pj = np.triu_indices(S, k=1)
+        e_pair = (orients[:, pi] * 2 + orients[:, pj]).astype(np.int32)
+        P = len(pi)
+        e_onehot = np.zeros((P * 4, R), dtype=self._F_flat.dtype)
+        for r in range(R):
+            e_onehot[np.arange(P) * 4 + e_pair[r], r] = 1.0
+        pi_d, pj_d = jnp.asarray(pi.astype(np.int32)), jnp.asarray(pj.astype(np.int32))
+        e_d = jnp.asarray(e_onehot)
+        c0_d = jnp.asarray(self.c0, dtype=self._F_flat.dtype)
+        all_idx: List[np.ndarray] = []
+        all_vals: List[np.ndarray] = []
+        for ofs in range(0, Bo, chunk_orders):
+            chunk = orders[ofs : ofs + chunk_orders].astype(np.int32)
+            n_real = chunk.shape[0]
+            if n_real < chunk_orders and Bo > chunk_orders:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], chunk_orders - n_real, axis=0)]
+                )
+            kk = min(k, n_real * R)
+            vals, idx = _block_score_topk_kernel(
+                self._F_flat, self._sizes_d, self._put_batch(chunk), e_d,
+                pi_d, pj_d, c0_d, self.C + 1, min(k, chunk.shape[0] * R),
+            )
+            vals, idx = np.asarray(vals), np.asarray(idx)
+            keep = idx < n_real * R  # drop padding rows
+            all_idx.append(idx[keep][:kk] + ofs * R)
+            all_vals.append(vals[keep][:kk])
+        idx = np.concatenate(all_idx)
+        vals = np.concatenate(all_vals)
+        if len(idx) > k:
+            top = np.argsort(-vals, kind="stable")[:k]
+            idx, vals = idx[top], vals[top]
+        return idx, vals
+
     def _put_batch(self, chunk: np.ndarray):
         if self._mesh is None:
             return jnp.asarray(chunk)
@@ -324,6 +406,20 @@ class BlockScorer:
 # ---------------------------------------------------------------------------
 # Decision rule
 # ---------------------------------------------------------------------------
+
+
+def argmax_reference_ties_sparse(
+    cand_indices: np.ndarray,
+    rescore: Callable[[int], float],
+    rel_tol: float = 1e-12,
+) -> Tuple[int, float]:
+    """Reference tie rule over a sparse candidate set (device top-k):
+    f64-rescore every candidate, earliest index among ties wins."""
+    exact = {int(i): float(rescore(int(i))) for i in cand_indices}
+    best = max(exact.values())
+    tol = rel_tol * max(abs(best), 1.0)
+    winners = sorted(i for i, c in exact.items() if c >= best - tol)
+    return winners[0], exact[winners[0]]
 
 
 def argmax_reference_ties(
