@@ -95,32 +95,22 @@ class _ChromosomeContext:
         return self.matrix[np.ix_(idx, idx)]
 
 
-def _apply_block_choice(
-    scaffs: List[Scaffold], order: Sequence[int], orient: Sequence[int]
-) -> List[Scaffold]:
-    out = []
-    for s_idx, e in zip(order, orient):
-        s = scaffs[s_idx]
-        s.orientation = "-" if e else "+"
-        out.append(s)
-    return out
-
-
 def brute_force_best(
-    head: List[Scaffold], ctx: _ChromosomeContext
-) -> Tuple[List[Scaffold], float]:
-    """Stage 1: exhaustive search over the largest scaffolds."""
-    sizes = [s.n_bins for s in head]
-    canonical_bins = [b for s in head for b in s.bins_asc]
-    sub = ctx.gather(canonical_bins)
-    scorer = cost_ops.BlockScorer(sub, sizes, mesh=ctx.mesh)
-    orders = perms.order_batch(len(head))
-    orients = perms.orient_batch(len(head))
-    if scorer.degenerate:
+    chrom: cost_ops.ChromosomeScorer,
+    head_ids: List[int],
+    names: Sequence[str],
+) -> Tuple[List[int], List[int], float]:
+    """Stage 1: exhaustive search over the largest scaffolds.
+
+    Returns (order ids, orientation flags, best cost)."""
+    sub = chrom.subset(head_ids)
+    orders = perms.order_batch(len(head_ids))
+    orients = perms.orient_batch(len(head_ids))
+    if sub.degenerate:
         print(
             "WARNING/ERROR - Zero contact values found between scaffolds "
             "assigned to chromosome group "
-            + ",".join(s.name for s in head)
+            + ",".join(names[i] for i in head_ids)
         )
         print(
             "This chromosome will be returned with an arbitrary order and "
@@ -128,147 +118,156 @@ def brute_force_best(
             "scaffolds being included in the assembly process whereby they "
             "do not share any contact values"
         )
-        return _apply_block_choice(head, orders[0], orients[0]), 0.0
+        print(
+            "It is recommended that these small scaffolds be removed from "
+            "the validpairs file produced by HiCpro prior to ICE "
+            "normalization to generate a cleaner contact map"
+        )
+        return list(map(int, orders[0])), list(map(int, orients[0])), 0.0
     n_cand = len(orders) * len(orients)
     print("Initial permutations to test " + str(n_cand) + "...")
     R = len(orients)
-    cand_idx, _vals = scorer.score_batch_topk(orders, orients)
+    cand_idx, _vals = sub.score_batch_topk(orders, orients)
     winner, best = cost_ops.argmax_reference_ties_sparse(
         cand_idx,
-        rescore=lambda i: scorer.score_host(orders[i // R], orients[i % R]),
+        rescore=lambda i: sub.score_host(orders[i // R], orients[i % R]),
     )
-    return _apply_block_choice(head, orders[winner // R], orients[winner % R]), best
-
-
-def _greedy_candidates(
-    ordered: List[Scaffold], new: Scaffold
-) -> Tuple[List[List[int]], List[Tuple[int, str]]]:
-    """Enumerate the 2(K+1) insertion candidates in reference order.
-
-    Returns (bin-ID sequences, (slot, orientation) per candidate).  The
-    first-tested orientation alternates per slot starting from the
-    candidate's current orientation (checkAllScores' flip-then-pop,
-    orderGenome.py:344-365).
-    """
-    cands: List[List[int]] = []
-    meta: List[Tuple[int, str]] = []
-    state = new.orientation
-    for slot in range(len(ordered) + 1):
-        for orientation in (state, "-" if state == "+" else "+"):
-            seq: List[int] = []
-            for k, s in enumerate(ordered):
-                if k == slot:
-                    seq.extend(new.bins_asc if orientation == "+" else new.bins_asc[::-1])
-                seq.extend(s.bin_seq)
-            if slot == len(ordered):
-                seq.extend(new.bins_asc if orientation == "+" else new.bins_asc[::-1])
-            cands.append(seq)
-            meta.append((slot, orientation))
-        state = "-" if state == "+" else "+"
-    return cands, meta
+    return list(map(int, orders[winner // R])), list(map(int, orients[winner % R])), best
 
 
 def order_remainder_scaffolds(
-    ordered: List[Scaffold],
-    remaining: List[Scaffold],
-    ctx: _ChromosomeContext,
-) -> Tuple[List[Scaffold], float]:
+    chrom: cost_ops.ChromosomeScorer,
+    order_ids: List[int],
+    orient_flags: List[int],
+    remaining_ids: List[int],
+) -> Tuple[List[int], List[int], float]:
     """Stage 2: greedy insertion (orderRemainderScaffolds semantics,
-    including the final self-reinsertion when ``remaining`` is empty)."""
+    orderGenome.py:475-493, including the final self-reinsertion when
+    ``remaining`` is empty).
+
+    Per step, the 2(K+1) slot x orientation candidates are scored in ONE
+    device batch via the per-candidate-pair kernel; candidate arrays are
+    padded to a fixed width (pad_id slots) and fixed batch (repeating
+    the last candidate) so every greedy step reuses one executable.
+    The first-tested orientation alternates per slot starting from the
+    incoming scaffold's current orientation (checkAllScores'
+    flip-then-pop, orderGenome.py:344-365).
+    """
+    W = chrom.S          # fixed candidate width (global scaffold count)
+    B_max = 2 * (chrom.S + 1)
+    pad = chrom.pad_id
     best_cost = 0.0
     while True:
-        if remaining:
-            new = remaining.pop(0)
+        if remaining_ids:
+            new = remaining_ids.pop(0)
+            new_state = 0  # scaffolds enter greedy as "+"
         else:
-            new = ordered.pop(-1)
-        sub_bins = [b for s in ordered for b in s.bin_seq] + new.bins_asc
-        id_to_idx = {b: i for i, b in enumerate(sub_bins)}
-        sub = ctx.gather(sub_bins)
-        scorer = cost_ops.DirectScorer(sub, mesh=ctx.mesh)
+            new = order_ids.pop(-1)
+            new_state = orient_flags.pop(-1)
+        K = len(order_ids)
+        n_cand = 2 * (K + 1)
+        cand_orders = np.full((B_max, W), pad, dtype=np.int32)
+        cand_orients = np.zeros((B_max, W), dtype=np.int32)
+        meta: List[Tuple[int, int]] = []
+        state = new_state
+        row = 0
+        for slot in range(K + 1):
+            for orientation in (state, 1 - state):
+                ids = order_ids[:slot] + [new] + order_ids[slot:]
+                flags = orient_flags[:slot] + [orientation] + orient_flags[slot:]
+                cand_orders[row, : K + 1] = ids
+                cand_orients[row, : K + 1] = flags
+                meta.append((slot, orientation))
+                row += 1
+            state = 1 - state
+        cand_orders[row:] = cand_orders[row - 1]
+        cand_orients[row:] = cand_orients[row - 1]
 
-        cands, meta = _greedy_candidates(ordered, new)
-        orders = np.asarray(
-            [[id_to_idx[b] for b in seq] for seq in cands], dtype=np.int32
-        )
-        costs = scorer.score(orders)
-        if scorer.degenerate or costs.max() <= 0.0:
-            slot, orientation = 0, "+"
+        sub = chrom.subset(order_ids + [new])
+        costs = sub.score_pairs(cand_orders, cand_orients)[:n_cand]
+        # fast-precision near-zero maxima still go through f64 re-scoring
+        # (the reference accepts only candidates with exact cost > 0,
+        # orderGenome.py:338-341)
+        near = 1e-6 * max(float(np.abs(costs).max()), 1.0)
+        if sub.degenerate or costs.max() <= -near:
+            slot, orientation = 0, 0
             best_cost = 0.0
         else:
             winner, best_cost = cost_ops.argmax_reference_ties(
-                costs, rescore=lambda i: scorer.score_host(orders[i])
+                costs,
+                rescore=lambda i: sub.score_host(cand_orders[i], cand_orients[i]),
             )
             if best_cost <= 0.0:
-                slot, orientation = 0, "+"
+                slot, orientation = 0, 0
             else:
                 slot, orientation = meta[winner]
-        new.orientation = orientation
-        ordered.insert(slot, new)
-        if len(remaining) == 0:
+        order_ids.insert(slot, new)
+        orient_flags.insert(slot, orientation)
+        if len(remaining_ids) == 0:
             break
-    return ordered, best_cost
+    return order_ids, orient_flags, best_cost
 
 
 def scan_ordering(
-    ordered: List[Scaffold],
-    ctx: _ChromosomeContext,
+    chrom: cost_ops.ChromosomeScorer,
+    order_ids: List[int],
+    orient_flags: List[int],
     best_cost: float,
     scan_scaffolds: int = 5,
-) -> Tuple[List[Scaffold], float]:
+) -> Tuple[List[int], List[int], float]:
     """Stage 3: sliding-window refinement against the full chromosome
-    matrix (scanOrdering, orderGenome.py:495-549)."""
-    canonical_bins = [b for s in ordered for b in s.bin_seq]
-    id_to_idx = {b: i for i, b in enumerate(canonical_bins)}
-    scorer = cost_ops.DirectScorer(ctx.gather(canonical_bins), mesh=ctx.mesh)
+    matrix (scanOrdering, orderGenome.py:495-549).
+
+    Each window\'s w!/2 * 2^w candidates are full scaffold-level orders
+    (fixed prefix/suffix + permuted window), scored in one cross-product
+    device batch; adoption is immediate and sweeps repeat until a full
+    pass makes no improvement, exactly like the reference.
+    """
+    sub = chrom.full()
     w = scan_scaffolds
+    S = len(order_ids)
+    orders_w = perms.order_batch(w)
+    orients_w = perms.orient_batch(w)
+    R = len(orients_w)
     round_number = 0
     while True:
         improved = False
         print("Working on round " + str(round_number + 1) + " of final step...")
-        for i in range(0, len(ordered) - w + 1):
-            window = ordered[i : i + w]
-            orders = perms.order_batch(w)
-            orients = perms.orient_batch(w)
-            R = len(orients)
-            cand_bin_orders = np.empty(
-                (len(orders) * R, len(canonical_bins)), dtype=np.int32
-            )
-            metas: List[Tuple[np.ndarray, np.ndarray]] = []
-            prefix = [b for s in ordered[:i] for b in s.bin_seq]
-            suffix = [b for s in ordered[i + w :] for b in s.bin_seq]
-            for oi, o in enumerate(orders):
-                for ri, r in enumerate(orients):
-                    mid: List[int] = []
-                    for s_idx, e in zip(o, r):
-                        s = window[s_idx]
-                        mid.extend(s.bins_asc if e == 0 else s.bins_asc[::-1])
-                    seq = prefix + mid + suffix
-                    cand_bin_orders[oi * R + ri] = [id_to_idx[b] for b in seq]
-                    metas.append((o, r))
-            costs = scorer.score(cand_bin_orders)
+        for i in range(0, S - w + 1):
+            base = np.asarray(order_ids, dtype=np.int32)
+            cand_orders = np.tile(base, (len(orders_w), 1))
+            for oi, o in enumerate(orders_w):
+                cand_orders[oi, i : i + w] = [order_ids[i + k] for k in o]
+            flags = np.asarray(orient_flags, dtype=np.int32)
+            cand_orients = np.tile(flags, (R, 1))
+            cand_orients[:, i : i + w] = orients_w
+            costs = sub.score_batch(cand_orders, cand_orients)
             # trigger exact re-scoring whenever the fast-precision max is
             # even close to the incumbent (f32 device costs may straddle it)
             trigger = best_cost - 1e-5 * max(abs(best_cost), 1.0)
-            if not scorer.degenerate and costs.max() > trigger:
-                winner, exact = cost_ops.argmax_reference_ties(
-                    costs, rescore=lambda c: scorer.score_host(cand_bin_orders[c])
-                )
+            if not sub.degenerate and costs.max() > trigger:
+
+                def _rescore(c: int) -> float:
+                    o, r = orders_w[c // R], orients_w[c % R]
+                    full_o = list(order_ids)
+                    full_r = list(orient_flags)
+                    full_o[i : i + w] = [order_ids[i + k] for k in o]
+                    full_r[i : i + w] = list(map(int, r))
+                    return sub.score_host(full_o, full_r)
+
+                winner, exact = cost_ops.argmax_reference_ties(costs, rescore=_rescore)
                 if exact > best_cost:
                     best_cost = exact
-                    o, r = metas[winner]
-                    new_window = []
-                    for s_idx, e in zip(o, r):
-                        s = window[s_idx]
-                        s.orientation = "-" if e else "+"
-                        new_window.append(s)
-                    ordered[i : i + w] = new_window
+                    o, r = orders_w[winner // R], orients_w[winner % R]
+                    order_ids[i : i + w] = [order_ids[i + k] for k in o]
+                    orient_flags[i : i + w] = list(map(int, r))
                     improved = True
         round_number += 1
         if not improved:
             break
     print("Sliding window conversion after " + str(round_number) + " rounds")
     print("Best cost at the end of the final step = " + str(best_cost))
-    return ordered, best_cost
+    return order_ids, orient_flags, best_cost
 
 
 def order_chromosome(
@@ -277,7 +276,14 @@ def order_chromosome(
     n_scaffolds: int = 6,
     scan_scaffolds: int = 5,
 ) -> List[Scaffold]:
-    """Full per-chromosome search (orderChromosome, orderGenome.py:551-586)."""
+    """Full per-chromosome search (orderChromosome, orderGenome.py:551-586).
+
+    Builds ONE pair-profile factorization for the whole chromosome; all
+    three stages (brute force, greedy insertion, sliding window) score
+    scaffold-level candidates against it — O(S^2) table gathers per
+    candidate instead of the reference\'s O(C^2) dense kernel per
+    candidate.
+    """
     if n_scaffolds >= 9:
         print("Number of initial scaffolds to order by brute force method is set too high...")
         print(str(perms.calc_possible_perms(n_scaffolds)) + " Different permutations would need to be calculated with current setting")
@@ -287,15 +293,29 @@ def order_chromosome(
         scan_scaffolds = n_scaffolds
 
     scaffold_list, _ = initiate_bins_and_scaffolds(chrom_group)
-    head = scaffold_list[:n_scaffolds]
-    tail = scaffold_list[n_scaffolds:]
-    ordered, _bf = brute_force_best(head, ctx)
-    ordered, best_cost = order_remainder_scaffolds(ordered, tail, ctx)
+    sizes = [s.n_bins for s in scaffold_list]
+    names = [s.name for s in scaffold_list]
+    canonical_bins = [b for s in scaffold_list for b in s.bins_asc]
+    chrom = cost_ops.ChromosomeScorer(
+        ctx.gather(canonical_bins), sizes, mesh=ctx.mesh
+    )
+    head_ids = list(range(min(n_scaffolds, len(scaffold_list))))
+    tail_ids = list(range(len(head_ids), len(scaffold_list)))
+    order_ids, orient_flags, _bf = brute_force_best(chrom, head_ids, names)
+    order_ids, orient_flags, best_cost = order_remainder_scaffolds(
+        chrom, order_ids, orient_flags, tail_ids
+    )
     print("BestCost at the end of first two steps " + str(best_cost))
-    if len(ordered) > n_scaffolds:
-        ordered, best_cost = scan_ordering(ordered, ctx, best_cost, scan_scaffolds)
+    if len(order_ids) > n_scaffolds:
+        order_ids, orient_flags, best_cost = scan_ordering(
+            chrom, order_ids, orient_flags, best_cost, scan_scaffolds
+        )
     print("Final ordering...")
-    for s in ordered:
+    ordered: List[Scaffold] = []
+    for gid, e in zip(order_ids, orient_flags):
+        s = scaffold_list[gid]
+        s.orientation = "-" if e else "+"
+        ordered.append(s)
         print(s.name, s.orientation)
     return ordered
 

@@ -137,21 +137,25 @@ class DirectScorer:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("S", "L", "cmax", "C"))
-def _build_pair_table(sub, sid, loc, sizes, wpad, S, L, cmax, C):
-    """Device-side F-table build: one scatter-add + one matmul.
+@functools.partial(jax.jit, static_argnames=("Sp", "L", "cmax"))
+def _build_pair_profiles(sub, sid, loc, sizes, Sp, L, cmax):
+    """Device-side pair-profile build: one scatter-add.
 
     h[row, m] accumulates every cross-scaffold matrix entry at its
-    orientation-specific offset; F[row, delta] = sum_m h[row, m] *
-    w(delta + m - (cmax-1)).
+    orientation-specific offset, row = (s * Sp + t) * 4 + e.  ``Sp`` is
+    the id-space stride (>= number of real scaffolds; extra ids are
+    zero-size padding slots whose rows stay zero).  h depends only on
+    the matrix and scaffold layout — NOT on the harmonic weights — so it
+    is built once per chromosome and reweighted per scaffold subset
+    (``_profiles_to_table``).
     """
     s, t = sid[:, None], sid[None, :]
     a, b = loc[:, None], loc[None, :]
     cs, ct = sizes[sid][:, None], sizes[sid][None, :]
-    base = (s * S + t) * 4
+    base = (s * Sp + t) * 4
     shift = cmax - 1
     vals = jnp.where(s != t, sub, 0.0).ravel()
-    nrows = 4 * S * S
+    nrows = 4 * Sp * Sp
     h = jnp.zeros(nrows * L, dtype=sub.dtype)
     for e, mm in enumerate(
         (
@@ -163,7 +167,14 @@ def _build_pair_table(sub, sid, loc, sizes, wpad, S, L, cmax, C):
     ):
         idx = ((base + e) * L + jnp.clip(mm, 0, L - 1)).ravel()
         h = h.at[idx].add(vals)
-    h = h.reshape(nrows, L)
+    return h.reshape(nrows, L)
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "C"))
+def _profiles_to_table(h, wpad, shift, C):
+    """F[row, delta] = sum_m h[row, m] * w(delta + m - shift) — one MXU
+    matmul; re-run per scaffold subset with that subset's weights."""
+    L = h.shape[1]
     # Wm[m, delta] = wpad[delta + m - shift] (0 outside [1, C-1])
     darg = jnp.arange(C + 1)[None, :] + (jnp.arange(L) - shift)[:, None]
     Wm = jnp.where((darg >= 1) & (darg <= C - 1), wpad[jnp.clip(darg, 0, C)], 0.0)
@@ -186,13 +197,13 @@ def _block_score_kernel(
     table entry are fetched once and combined across combos by the
     precomputed one-hot selector matrix (64x fewer gathers than the
     naive [Bo, R, P] gather)."""
-    S = orders.shape[1]
+    Sp = sizes.shape[0]  # id-space stride of the F table (incl. pad slots)
     Bo, P = orders.shape[0], pi.shape[0]
     sz = sizes[orders]
     offs = jnp.cumsum(sz, axis=1) - sz
     s_i, s_j = orders[:, pi], orders[:, pj]              # [Bo, P]
     delta = offs[:, pj] - offs[:, pi]                    # [Bo, P]
-    pair_base = (s_i * S + s_j) * 4                      # [Bo, P]
+    pair_base = (s_i * Sp + s_j) * 4                     # [Bo, P]
     idx = (pair_base[:, :, None] + jnp.arange(4, dtype=orders.dtype)) * Cp1 \
         + delta[:, :, None]                              # [Bo, P, 4]
     f_vals = F_flat[idx].reshape(Bo, P * 4)
@@ -226,13 +237,40 @@ def _block_score_topk_kernel(F_flat, sizes, orders, e_onehot, pi, pj, c0, Cp1, k
     return vals, idx
 
 
-class BlockScorer:
-    """Brute-force scorer over scaffold-level (order, orientation) batches.
+@functools.partial(jax.jit, static_argnames=("Cp1",))
+def _pair_score_kernel(F_flat, sizes, orders, orients, pi, pj, c0, Cp1):
+    """Per-candidate (order, orientation) scoring: orders and orients
+    are both [B, W] (unlike the cross-product kernel, each candidate
+    carries its own orientation vector).  Used by greedy insertion,
+    where slot and orientation are coupled.  Pad slots (id with size 0)
+    contribute zero rows of F and zero size, so a single executable
+    serves every greedy step."""
+    Sp = sizes.shape[0]
+    sz = sizes[orders]
+    offs = jnp.cumsum(sz, axis=1) - sz
+    s_i, s_j = orders[:, pi], orders[:, pj]              # [B, P]
+    e = orients[:, pi] * 2 + orients[:, pj]              # [B, P]
+    delta = offs[:, pj] - offs[:, pi]
+    idx = ((s_i * Sp + s_j) * 4 + e) * Cp1 + delta
+    return jnp.sum(F_flat[idx], axis=1) + c0
 
-    Construction is one scatter over the C x C submatrix plus one
-    (4*S^2, L) @ (L, C+1) matmul; each candidate then costs S*(S-1)/2
-    table gathers.  Matches the reference cost exactly in exact mode
-    (``score_host``); device batches run in compiled fast precision.
+
+class ChromosomeScorer:
+    """Once-per-chromosome pair-profile factorization.
+
+    Builds the orientation-resolved scaffold-pair diagonal profiles
+    h[(s*Sp+t)*4+e, m] on device with ONE scatter over the C x C
+    chromosome submatrix (canonical layout: scaffolds size-descending,
+    bins ascending within each scaffold).  Every search stage — brute
+    force (orderGenome.py:432-473), greedy insertion (:475-493) and
+    sliding-window refinement (:495-549) — scores scaffold-level
+    candidates from the same h via a per-SUBSET harmonic reweighting
+    (``subset()``): the cost normalizer ``total`` and weight profile
+    w(d) depend on which scaffolds are in play, but h does not.
+
+    This replaces the reference's O(C^2)-per-candidate numba kernel with
+    O(S^2) table gathers per candidate plus one (4*Sp^2, L) @ (L, C+1)
+    MXU matmul per subset.
     """
 
     def __init__(
@@ -246,48 +284,101 @@ class BlockScorer:
         then sharded over its data axis (DP) with the table replicated,
         and XLA partitions the gather+reduction across chips."""
         self._mesh = mesh
+        self._dtype = dtype
         sub = np.asarray(sub_matrix, dtype=np.float64)
         self.sizes = np.asarray(sizes, dtype=np.int64)
         self.S = len(self.sizes)
+        self.Sp = self.S + 1  # one zero-size pad slot for fixed shapes
         self.C = int(self.sizes.sum())
         assert sub.shape == (self.C, self.C), (sub.shape, self.C)
-        self.total = upper_triangle_total(sub)
-        self.degenerate = self.total == 0.0
-        self.w = harmonic_weights(self.C, self.total)
         self._sub = sub
 
         sid = np.repeat(np.arange(self.S), self.sizes).astype(np.int32)
         loc = np.concatenate([np.arange(c) for c in self.sizes]).astype(np.int32)
         cmax = int(self.sizes.max())
         self.cmax, self.L = cmax, 2 * cmax - 1
+        self._sid = sid
 
-        iu = np.triu_indices(self.C, k=1)
-        same = sid[iu[0]] == sid[iu[1]]
-        # intra-scaffold pairs: weight depends only on |loc difference|
-        # so their cost contribution is constant across all candidates.
-        self.c0 = float(
-            (sub[iu][same] * self.w[(iu[1] - iu[0])[same]]).sum()
-        ) if not self.degenerate else 0.0
+        # Host-side f64 exact bookkeeping (all O(C^2), computed once):
+        # per-scaffold internal diagonal profiles (for c0), internal
+        # totals and pairwise cross totals (for each subset's ``total``).
+        offsets = np.concatenate([[0], np.cumsum(self.sizes)[:-1]])
+        self.intra_profile = np.zeros((self.S, max(cmax, 1)), dtype=np.float64)
+        self.intra_total = np.zeros(self.S, dtype=np.float64)
+        for s, (o, c) in enumerate(zip(offsets, self.sizes)):
+            block = sub[o : o + c, o : o + c]
+            for d in range(1, c):
+                self.intra_profile[s, d] = float(np.trace(block, offset=d))
+            self.intra_total[s] = self.intra_profile[s].sum()
+        row_groups = np.add.reduceat(sub, offsets, axis=0)
+        self.cross_total = np.add.reduceat(row_groups, offsets, axis=1)
 
-        # F[row, delta] built on device: scatter the scaffold-pair
-        # diagonal/antidiagonal profiles h[row, m] (row = ((s*S+t)*2 +
-        # e_s)*2 + e_t, m = position-delta offset) then one MXU matmul
-        # against the shifted harmonic-weight matrix.
-        wpad = np.zeros(self.C + 1, dtype=np.float64)
-        wpad[1 : self.C] = self.w[1:]
-        F = _build_pair_table(
+        self._h = _build_pair_profiles(
             jnp.asarray(sub.astype(dtype)),
             jnp.asarray(sid),
             jnp.asarray(loc),
             jnp.asarray(self.sizes.astype(np.int32)),
-            jnp.asarray(wpad.astype(dtype)),
-            self.S,
+            self.Sp,
             self.L,
             cmax,
+        )
+        sizes_padded = np.zeros(self.Sp, dtype=np.int32)
+        sizes_padded[: self.S] = self.sizes
+        self._sizes_d = jnp.asarray(sizes_padded)
+
+    @property
+    def pad_id(self) -> int:
+        """Scaffold id usable as padding in fixed-width candidate
+        arrays; contributes zero size and zero cost."""
+        return self.S
+
+    def subset(self, include: Sequence[int]) -> "SubsetScorer":
+        """Scorer for candidates drawn from ``include`` (global ids)."""
+        return SubsetScorer(self, list(include))
+
+    def full(self) -> "SubsetScorer":
+        return self.subset(range(self.S))
+
+
+class SubsetScorer:
+    """Scoring view over a scaffold subset: fixed ``total``, w profile,
+    reweighted F table and intra-scaffold constant c0.
+
+    Exposes the cross-product batch API (orders x orientation combos —
+    brute force, sliding window), the per-candidate-pair API (greedy
+    insertion) and the reference-exact f64 host re-scorer.
+    """
+
+    def __init__(self, parent: ChromosomeScorer, include: List[int]):
+        self.parent = parent
+        self.include = include
+        self._mesh = parent._mesh
+        self.sizes = parent.sizes
+        self.S = parent.S
+        self.C = parent.C  # delta/table width (full chromosome)
+        self.C_sub = int(parent.sizes[include].sum())
+        inc = np.asarray(include)
+        iu = np.triu_indices(len(inc), k=1)
+        self.total = float(parent.intra_total[inc].sum()) + float(
+            parent.cross_total[inc[iu[0]], inc[iu[1]]].sum()
+        )
+        self.degenerate = self.total == 0.0
+        self.w = harmonic_weights(self.C_sub, self.total)
+        self.c0 = (
+            float(parent.intra_profile[inc].sum(axis=0) @ self.w[: parent.cmax])
+            if not self.degenerate
+            else 0.0
+        )
+        wpad = np.zeros(self.C + 1, dtype=np.float64)
+        wpad[1 : self.C_sub] = self.w[1 : self.C_sub]
+        F = _profiles_to_table(
+            parent._h,
+            jnp.asarray(wpad.astype(parent._dtype)),
+            parent.cmax - 1,
             self.C,
         )
         self._F_flat = F.reshape(-1)
-        self._sizes_d = jnp.asarray(self.sizes.astype(np.int32))
+        self._sizes_d = parent._sizes_d
 
     def score_batch(
         self, orders: np.ndarray, orients: np.ndarray, chunk_orders: int = 2048
@@ -394,13 +485,53 @@ class BlockScorer:
         arr, _n = pm.put_batch_padded(self._mesh, chunk)
         return arr
 
+    def score_pairs(self, orders: np.ndarray, orients: np.ndarray) -> np.ndarray:
+        """Costs for per-candidate (order, orientation) pairs.
+
+        ``orders`` and ``orients`` are both int[B, W]; entry k of
+        candidate b places scaffold ``orders[b, k]`` (a GLOBAL id; the
+        parent's ``pad_id`` fills unused slots) with orientation
+        ``orients[b, k]`` (0 = "+").  Used by greedy insertion where
+        slot and orientation are coupled per candidate.
+        """
+        B, W = orders.shape
+        if self.degenerate:
+            return np.zeros(B, dtype=np.float64)
+        pi, pj = np.triu_indices(W, k=1)
+        out = _pair_score_kernel(
+            self._F_flat,
+            self._sizes_d,
+            jnp.asarray(orders.astype(np.int32)),
+            jnp.asarray(orients.astype(np.int32)),
+            jnp.asarray(pi.astype(np.int32)),
+            jnp.asarray(pj.astype(np.int32)),
+            jnp.asarray(self.c0, dtype=self._F_flat.dtype),
+            self.C + 1,
+        )
+        return np.asarray(out, dtype=np.float64)
+
     def score_host(self, order: Sequence[int], orient: Sequence[int]) -> float:
-        """Reference-exact f64 cost for one (order, orientation)."""
+        """Reference-exact f64 cost for one (order, orientation); pad
+        ids are ignored."""
         if self.degenerate:
             return 0.0
-        bin_order = bin_order_of_block(order, orient, self.sizes)
-        gathered = self._sub[np.ix_(bin_order, bin_order)]
+        order = np.asarray(order)
+        orient = np.asarray(orient)
+        real = order < self.S
+        bin_order = bin_order_of_block(order[real], orient[real], self.sizes)
+        gathered = self.parent._sub[np.ix_(bin_order, bin_order)]
         return oracle.cost_function(gathered, self.total)
+
+
+def BlockScorer(
+    sub_matrix: np.ndarray,
+    sizes: Sequence[int],
+    dtype=np.float32,
+    mesh=None,
+) -> SubsetScorer:
+    """Brute-force scorer over the full scaffold set of ``sub_matrix``
+    (back-compat constructor: ChromosomeScorer(...).full())."""
+    return ChromosomeScorer(sub_matrix, sizes, dtype=dtype, mesh=mesh).full()
 
 
 # ---------------------------------------------------------------------------
