@@ -83,16 +83,34 @@ def initiate_bins_and_scaffolds(
 
 
 class _ChromosomeContext:
-    """Full-genome matrix + binID -> row index lookup."""
+    """Full-genome matrix + binID -> row index lookup.
+
+    The genome matrix is staged on device ONCE (fast dtype); chromosome
+    submatrices are sliced on device (``gather_device``), so the
+    per-chromosome scorer never pays a host->device matrix transfer —
+    over a thin host link that transfer dominates the whole table build.
+    """
 
     def __init__(self, matrix: np.ndarray, bin_list: List[hicpro.Bin], mesh=None):
         self.matrix = np.asarray(matrix, dtype=np.float64)
         self.bin_index = {b.ID: i for i, b in enumerate(bin_list)}
         self.mesh = mesh
+        self._device_matrix = None
 
     def gather(self, bin_ids: Sequence[int]) -> np.ndarray:
         idx = [self.bin_index[b] for b in bin_ids]
         return self.matrix[np.ix_(idx, idx)]
+
+    def gather_device(self, bin_ids: Sequence[int]):
+        """Device-resident f32 submatrix for the given bins."""
+        import jax.numpy as jnp
+
+        if self._device_matrix is None:
+            self._device_matrix = jnp.asarray(self.matrix.astype(np.float32))
+        idx = jnp.asarray(
+            np.fromiter((self.bin_index[b] for b in bin_ids), dtype=np.int32)
+        )
+        return jnp.take(jnp.take(self._device_matrix, idx, axis=0), idx, axis=1)
 
 
 def brute_force_best(
@@ -297,7 +315,10 @@ def order_chromosome(
     names = [s.name for s in scaffold_list]
     canonical_bins = [b for s in scaffold_list for b in s.bins_asc]
     chrom = cost_ops.ChromosomeScorer(
-        ctx.gather(canonical_bins), sizes, mesh=ctx.mesh
+        ctx.gather(canonical_bins),
+        sizes,
+        mesh=ctx.mesh,
+        device_sub=ctx.gather_device(canonical_bins),
     )
     head_ids = list(range(min(n_scaffolds, len(scaffold_list))))
     tail_ids = list(range(len(head_ids), len(scaffold_list)))

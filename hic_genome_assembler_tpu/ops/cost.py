@@ -137,6 +137,99 @@ class DirectScorer:
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("Sp",))
+def _build_pair_profiles_skew(m_pad, blk_idx, remap_idx, Sp):
+    """Scatter-free pair-profile build: block gather + skew-reshape
+    diagonal sums + one static remap gather.
+
+    TPU scatter-add (the ``.at[].add`` path below) serializes on
+    duplicate indices and costs ~0.5s at C=2048; everything here is
+    bandwidth-shaped instead.  Steps:
+
+    1. ``G[s, t, a, b] = M[offs_s + a, offs_t + b]`` — a padded block
+       view of the chromosome matrix built with one static-index gather
+       (``m_pad`` carries a zero guard row/col for the a >= c_s pad
+       region).
+    2. All four orientation profiles are (anti)diagonal sums of the
+       G planes: e in {0,3} need ``Ddiff[v] = sum_{b-a+cmax-1=v}`` and
+       e in {1,2} need ``Dsum[u] = sum_{a+b=u}``.  Both come from ONE
+       skew primitive (pad each plane row, flat-reshape so row a lands
+       shifted by a, reduce over a) — pure reshapes + a sum, no
+       scatter; Ddiff is the skew of the a-reversed plane.
+    3. A single precomputed static gather (``remap_idx``, host-built in
+       ``_profile_remap_indices``) places each (s, t, e, m) entry from
+       the stacked [Dsum, Ddiff] profiles, mapping per-(s,t) constant
+       shifts/flips and guarding out-of-range offsets to a zero slot.
+
+    Memory: G is (S*cmax)^2 floats, so this path is gated by the caller
+    to S*cmax <= _SKEW_BUILD_LIMIT; ragged chromosomes with many
+    scaffolds fall back to the scatter build.
+    """
+    S, c = blk_idx.shape
+    L = 2 * c - 1
+    flat_idx = blk_idx.reshape(-1)
+    G = m_pad[flat_idx][:, flat_idx].reshape(S, c, S, c).transpose(0, 2, 1, 3)
+
+    def antidiag(planes):
+        # out[..., u] = sum_a planes[..., a, u - a]
+        padded = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, c)))
+        flat = padded.reshape(S, S, c * 2 * c)[..., : c * L]
+        return flat.reshape(S, S, c, L).sum(axis=2)
+
+    Dsum = antidiag(G)
+    Ddiff = antidiag(G[:, :, ::-1, :])
+    prof = jnp.stack([Dsum, Ddiff])                        # [2, S, S, L]
+    prof = jnp.pad(prof, ((0, 0), (0, 0), (0, 0), (0, 1)))  # guard zero
+    h4 = prof.reshape(-1)[remap_idx]                       # [S, S, 4, L]
+    eye = jnp.arange(S)[:, None] == jnp.arange(S)[None, :]
+    h4 = jnp.where(eye[:, :, None, None], 0.0, h4)
+    h4 = jnp.pad(h4, ((0, Sp - S), (0, Sp - S), (0, 0), (0, 0)))
+    return h4.reshape(Sp * Sp * 4, L)
+
+
+def _profile_remap_indices(sizes: np.ndarray) -> np.ndarray:
+    """Static gather map for ``_build_pair_profiles_skew`` step 3.
+
+    Returns int32[S, S, 4, L] indices into the flattened padded profile
+    stack [2, S, S, L+1] (which=0 -> Dsum, 1 -> Ddiff; index L = guard
+    zero).  Orientation offset formulas match the scatter build below
+    (and Scaffold.flipOrientation semantics, orderGenome.py:246-254):
+
+        e=0 (+,+): m = (b - a) + shift          -> Ddiff[m]
+        e=1 (+,-): m = (ct-1 - (a+b)) + shift   -> Dsum[ct-1+shift-m]
+        e=2 (-,+): m = (a+b) - cs + 1 + shift   -> Dsum[m+cs-1-shift]
+        e=3 (-,-): m = (ct-cs) - (b-a) + shift  -> Ddiff[(ct-cs)+2*shift-m]
+    """
+    sizes = np.asarray(sizes, dtype=np.int64)
+    S = len(sizes)
+    cmax = int(sizes.max())
+    L = 2 * cmax - 1
+    shift = cmax - 1
+    m = np.arange(L)
+    cs = sizes[:, None, None]                      # [S, 1, 1]
+    ct = sizes[None, :, None]                      # [1, S, 1]
+    pos = np.empty((S, S, 4, L), dtype=np.int64)
+    which = np.empty((S, S, 4, L), dtype=np.int64)
+    pos[:, :, 0, :] = np.broadcast_to(m, (S, S, L))
+    which[:, :, 0, :] = 1
+    pos[:, :, 1, :] = ct - 1 + shift - m
+    which[:, :, 1, :] = 0
+    pos[:, :, 2, :] = m + cs - 1 - shift
+    which[:, :, 2, :] = 0
+    pos[:, :, 3, :] = (ct - cs) + 2 * shift - m
+    which[:, :, 3, :] = 1
+    pos = np.where((pos >= 0) & (pos < L), pos, L)  # guard slot
+    s_idx = np.arange(S)[:, None, None, None]
+    t_idx = np.arange(S)[None, :, None, None]
+    flat = ((which * S + s_idx) * S + t_idx) * (L + 1) + pos
+    return flat.astype(np.int32)
+
+
+# G = (S*cmax)^2 floats; 16384^2 * 4B = 1 GiB transient — above this the
+# block-padded view is worse than the scatter it replaces.
+_SKEW_BUILD_LIMIT = 16384
+
+
 @functools.partial(jax.jit, static_argnames=("Sp", "L", "cmax"))
 def _build_pair_profiles(sub, sid, loc, sizes, Sp, L, cmax):
     """Device-side pair-profile build: one scatter-add.
@@ -279,10 +372,18 @@ class ChromosomeScorer:
         sizes: Sequence[int],
         dtype=np.float32,
         mesh=None,
+        device_sub: Optional[jax.Array] = None,
     ):
         """``mesh``: optional jax.sharding.Mesh — candidate batches are
         then sharded over its data axis (DP) with the table replicated,
-        and XLA partitions the gather+reduction across chips."""
+        and XLA partitions the gather+reduction across chips.
+
+        ``device_sub``: optional device-resident fast-dtype copy of
+        ``sub_matrix`` (e.g. sliced on device from the genome matrix by
+        the part-2 driver).  Providing it skips the host->device matrix
+        transfer — the dominant table-build cost over a thin host link;
+        ``sub_matrix`` is still required for the f64 exact bookkeeping
+        (totals, c0, host re-scoring)."""
         self._mesh = mesh
         self._dtype = dtype
         sub = np.asarray(sub_matrix, dtype=np.float64)
@@ -313,15 +414,29 @@ class ChromosomeScorer:
         row_groups = np.add.reduceat(sub, offsets, axis=0)
         self.cross_total = np.add.reduceat(row_groups, offsets, axis=1)
 
-        self._h = _build_pair_profiles(
-            jnp.asarray(sub.astype(dtype)),
-            jnp.asarray(sid),
-            jnp.asarray(loc),
-            jnp.asarray(self.sizes.astype(np.int32)),
-            self.Sp,
-            self.L,
-            cmax,
-        )
+        if device_sub is None:
+            device_sub = jnp.asarray(sub.astype(dtype))
+        if self.S * cmax <= _SKEW_BUILD_LIMIT:
+            m_pad = jnp.pad(device_sub.astype(dtype), ((0, 1), (0, 1)))
+            blk_idx = np.full((self.S, cmax), self.C, dtype=np.int32)
+            for s, (o, c) in enumerate(zip(offsets, self.sizes)):
+                blk_idx[s, :c] = np.arange(o, o + c)
+            self._h = _build_pair_profiles_skew(
+                m_pad,
+                jnp.asarray(blk_idx),
+                jnp.asarray(_profile_remap_indices(self.sizes)),
+                self.Sp,
+            )
+        else:
+            self._h = _build_pair_profiles(
+                device_sub.astype(dtype),
+                jnp.asarray(sid),
+                jnp.asarray(loc),
+                jnp.asarray(self.sizes.astype(np.int32)),
+                self.Sp,
+                self.L,
+                cmax,
+            )
         sizes_padded = np.zeros(self.Sp, dtype=np.int32)
         sizes_padded[: self.S] = self.sizes
         self._sizes_d = jnp.asarray(sizes_padded)
@@ -427,7 +542,7 @@ class SubsetScorer:
         orders: np.ndarray,
         orients: np.ndarray,
         k: int = 64,
-        chunk_orders: int = 10080,
+        chunk_orders: int = 20160,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k candidates without materializing all costs on host.
 
@@ -528,10 +643,13 @@ def BlockScorer(
     sizes: Sequence[int],
     dtype=np.float32,
     mesh=None,
+    device_sub: Optional[jax.Array] = None,
 ) -> SubsetScorer:
     """Brute-force scorer over the full scaffold set of ``sub_matrix``
     (back-compat constructor: ChromosomeScorer(...).full())."""
-    return ChromosomeScorer(sub_matrix, sizes, dtype=dtype, mesh=mesh).full()
+    return ChromosomeScorer(
+        sub_matrix, sizes, dtype=dtype, mesh=mesh, device_sub=device_sub
+    ).full()
 
 
 # ---------------------------------------------------------------------------
