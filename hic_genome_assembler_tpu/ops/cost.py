@@ -318,7 +318,10 @@ def _block_score_topk_kernel(F_flat, sizes, orders, e_onehot, pi, pj, c0, Cp1, k
     re-scoring set is k candidates wide to absorb fast-precision noise.
     """
     costs = _block_score_kernel(F_flat, sizes, orders, e_onehot, pi, pj, c0, Cp1)
-    flat = costs.ravel()
+    return _group_argmax(costs.ravel(), k)
+
+
+def _group_argmax(flat: jnp.ndarray, k: int):
     n = flat.shape[0]
     pad = (-n) % k
     if pad:
@@ -328,6 +331,134 @@ def _block_score_topk_kernel(F_flat, sizes, orders, e_onehot, pi, pj, c0, Cp1, k
     local = jnp.argmax(groups, axis=1).astype(jnp.int32)
     idx = jnp.arange(k, dtype=jnp.int32) * groups.shape[1] + local
     return vals, idx
+
+
+# ---------------------------------------------------------------------------
+# Combo-factorized brute-force scoring
+#
+# For a fixed enumeration batch (all n!/2 orders over one value set), the
+# F-table cell a candidate pair needs depends only on the "combo"
+# (s_i, s_j, set-of-scaffolds-between): delta = size(s_i) + sum(sizes of
+# the between-set).  There are only n^2 * 2^(n-2) combos (3584 at n=8)
+# versus Bo*P*4 = 2.26M per-candidate gathers from the big F table, and
+# the candidate->combo map ``cid`` is PURE COMBINATORICS — computed once
+# per n and cached for the whole process (every chromosome reuses it).
+# Scoring then = one tiny F gather (n_combo x 4) + a VMEM-sized table
+# gather + one MXU einsum.
+# ---------------------------------------------------------------------------
+
+_COMBO_CACHE: dict = {}
+_ONEHOT_CACHE: dict = {}
+_TRIU_CACHE: dict = {}
+
+
+def _triu_cache(c: int):
+    hit = _TRIU_CACHE.get(c)
+    if hit is None:
+        hit = _TRIU_CACHE[c] = np.triu_indices(c, k=1)
+    return hit
+
+
+def _orient_onehot(S: int, orients: np.ndarray, dtype) -> np.ndarray:
+    """Per-position-pair orientation selector: one-hot[(p*4 + e), r] with
+    e = orients[r, pi]*2 + orients[r, pj].  Cached — the orientation
+    enumeration batch is identical across chromosomes."""
+    key = (S, orients.tobytes(), dtype.str)
+    hit = _ONEHOT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pi, pj = np.triu_indices(S, k=1)
+    P = len(pi)
+    R = orients.shape[0]
+    e_pair = (orients[:, pi] * 2 + orients[:, pj]).astype(np.int64)  # [R, P]
+    e_onehot = np.zeros((P * 4, R), dtype=dtype)
+    rows = (np.arange(P)[None, :] * 4 + e_pair).ravel()
+    cols = np.repeat(np.arange(R), P)
+    e_onehot[rows, cols] = 1.0
+    _ONEHOT_CACHE[key] = e_onehot
+    return e_onehot
+
+
+def _combo_index(orders: np.ndarray) -> dict:
+    """Candidate->combo map for an enumeration batch whose rows all
+    permute the same value set (order_batch output).  Cached by batch
+    bytes.  Combo encoding over value RANKS: c = (ri*n + rj)*2^(n-2) +
+    mask, where mask bit b set <=> the b-th remaining rank (ascending,
+    excluding ri and rj) lies strictly between positions of s_i, s_j."""
+    key = (orders.shape, orders.tobytes())
+    hit = _COMBO_CACHE.get(key)
+    if hit is not None:
+        return hit
+    Bo, S = orders.shape
+    values = np.sort(np.unique(orders[0]))
+    assert len(values) == S, "combo path needs distinct per-row values"
+    rank_of = np.full(int(values.max()) + 1, -1, dtype=np.int64)
+    rank_of[values] = np.arange(S)
+    r_ord = rank_of[orders]                                  # [Bo, S] ranks
+    pi, pj = np.triu_indices(S, k=1)
+    P = len(pi)
+    nbits = max(S - 2, 0)
+    # bit position of rank k among "others of (ri, rj)" = k - (k>ri) - (k>rj)
+    ri = r_ord[:, pi]                                        # [Bo, P]
+    rj = r_ord[:, pj]
+    mask = np.zeros((Bo, P), dtype=np.int64)
+    for q in range(1, S - 1):                                # between offsets
+        between = np.zeros((Bo, P), dtype=bool)
+        rq = np.zeros((Bo, P), dtype=np.int64)
+        for p, (a, b) in enumerate(zip(pi, pj)):
+            sel = a + q < b
+            if not sel:
+                continue
+            col = r_ord[:, a + q]
+            rq[:, p] = col
+            between[:, p] = True
+        bitpos = rq - (rq > ri) - (rq > rj)
+        mask |= np.where(between, 1 << bitpos, 0)
+    cid = ((ri * S + rj) << nbits) + mask                    # [Bo, P]
+    n_combo = (S * S) << nbits
+    # decode tables for the combo -> (row, delta) map
+    c = np.arange(n_combo, dtype=np.int64)
+    si_r = (c >> nbits) // S
+    sj_r = (c >> nbits) % S
+    bits = (c[:, None] >> np.arange(nbits)[None, :]) & 1     # [n_combo, nbits]
+    # others_rank[ri, rj, b] = b-th ascending rank excluding ri, rj
+    others = np.zeros((S, S, nbits), dtype=np.int64)
+    for a in range(S):
+        for b in range(S):
+            rest = [k for k in range(S) if k != a and k != b]
+            rest = (rest + [0] * nbits)[:nbits]
+            others[a, b] = rest
+    out = {
+        "values": values,
+        "cid": cid.astype(np.int32),
+        "si_r": si_r,
+        "sj_r": sj_r,
+        "bits": bits,
+        "others_r": others[si_r, sj_r],                      # [n_combo, nbits]
+        "n_combo": n_combo,
+        "valid": si_r != sj_r,
+    }
+    _COMBO_CACHE[key] = out
+    return out
+
+
+@jax.jit
+def _combo_score_kernel(F_flat, idx4, cid, E, c0):
+    """V4 = F[idx4] (tiny), vals = V4[cid] (VMEM-sized table), one MXU
+    einsum folds the 4 orientation variants against the per-position
+    orientation selector E[P, 4, R]."""
+    V4 = F_flat[idx4]                                        # [n_combo, 4]
+    vals = V4[cid]                                           # [Bo, P, 4]
+    return (
+        jnp.einsum("bpe,per->br", vals, E, preferred_element_type=vals.dtype)
+        + c0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _combo_score_topk_kernel(F_flat, idx4, cid, E, c0, k):
+    costs = _combo_score_kernel(F_flat, idx4, cid, E, c0)
+    return _group_argmax(costs.ravel(), k)
 
 
 @functools.partial(jax.jit, static_argnames=("Cp1",))
@@ -408,11 +539,18 @@ class ChromosomeScorer:
         self.intra_total = np.zeros(self.S, dtype=np.float64)
         for s, (o, c) in enumerate(zip(offsets, self.sizes)):
             block = sub[o : o + c, o : o + c]
-            for d in range(1, c):
-                self.intra_profile[s, d] = float(np.trace(block, offset=d))
+            if c > 1:
+                rows, cols = _triu_cache(c)
+                self.intra_profile[s, : max(c, 1)] = np.bincount(
+                    cols - rows, weights=block[rows, cols], minlength=c
+                )[:max(c, 1)]
             self.intra_total[s] = self.intra_profile[s].sum()
-        row_groups = np.add.reduceat(sub, offsets, axis=0)
-        self.cross_total = np.add.reduceat(row_groups, offsets, axis=1)
+        # cross_total[s, t] = sum of the (s, t) block — two f64 BLAS
+        # matmuls with the scaffold one-hot (O(C^2 S), milliseconds)
+        # instead of strided reduceat passes over the full matrix.
+        G = np.zeros((self.C, self.S), dtype=np.float64)
+        G[np.arange(self.C), sid] = 1.0
+        self.cross_total = G.T @ (sub @ G)
 
         if device_sub is None:
             device_sub = jnp.asarray(sub.astype(dtype))
@@ -509,11 +647,7 @@ class SubsetScorer:
         if self.degenerate:
             return np.zeros(Bo * R, dtype=np.float64)
         pi, pj = np.triu_indices(S, k=1)
-        e_pair = (orients[:, pi] * 2 + orients[:, pj]).astype(np.int32)  # [R, P]
-        P = len(pi)
-        e_onehot = np.zeros((P * 4, R), dtype=self._F_flat.dtype)
-        for r in range(R):
-            e_onehot[np.arange(P) * 4 + e_pair[r], r] = 1.0
+        e_onehot = _orient_onehot(S, orients, np.dtype(self._F_flat.dtype))
         out = np.empty((Bo, R), dtype=np.float64)
         pi_d, pj_d = jnp.asarray(pi.astype(np.int32)), jnp.asarray(pj.astype(np.int32))
         e_d = jnp.asarray(e_onehot)
@@ -559,11 +693,9 @@ class SubsetScorer:
         if self.degenerate:
             return np.arange(min(k, Bo * R)), np.zeros(min(k, Bo * R))
         pi, pj = np.triu_indices(S, k=1)
-        e_pair = (orients[:, pi] * 2 + orients[:, pj]).astype(np.int32)
-        P = len(pi)
-        e_onehot = np.zeros((P * 4, R), dtype=self._F_flat.dtype)
-        for r in range(R):
-            e_onehot[np.arange(P) * 4 + e_pair[r], r] = 1.0
+        e_onehot = _orient_onehot(S, orients, np.dtype(self._F_flat.dtype))
+        if 2 <= S <= 8 and len(np.unique(orders[0])) == S:
+            return self._score_topk_combo(orders, orients, e_onehot, k)
         pi_d, pj_d = jnp.asarray(pi.astype(np.int32)), jnp.asarray(pj.astype(np.int32))
         e_d = jnp.asarray(e_onehot)
         c0_d = jnp.asarray(self.c0, dtype=self._F_flat.dtype)
@@ -589,6 +721,71 @@ class SubsetScorer:
         vals = np.concatenate(all_vals)
         if len(idx) > k:
             top = np.argsort(-vals, kind="stable")[:k]
+            idx, vals = idx[top], vals[top]
+        return idx, vals
+
+    def _combo_f_indices(self, combo: dict) -> np.ndarray:
+        """F_flat gather indices for every combo's 4 orientation cells:
+        delta(c) = size(s_i) + sum(sizes of the between-set) = the
+        canonical start-offset difference of the pair."""
+        sizes = self.parent.sizes
+        Sp, C = self.parent.Sp, self.C
+        values = combo["values"].astype(np.int64)
+        gi = values[combo["si_r"]]
+        gj = values[combo["sj_r"]]
+        nbits = combo["bits"].shape[1]
+        delta = sizes[gi].copy()
+        if nbits:
+            others_g = values[combo["others_r"]]
+            delta += (combo["bits"] * sizes[others_g]).sum(axis=1)
+        rows = (gi * Sp + gj) * 4
+        idx4 = (rows[:, None] + np.arange(4)) * (C + 1) + delta[:, None]
+        idx4 = np.where(combo["valid"][:, None], idx4, 0)
+        return idx4.astype(np.int32)
+
+    def _score_topk_combo(
+        self, orders: np.ndarray, orients: np.ndarray, e_onehot: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Brute-force top-k via the combo factorization: the
+        candidate->combo map (pure combinatorics) is computed once per
+        enumeration batch and its device copy reused across every
+        chromosome; per subset only the tiny (n_combo, 4) F gather
+        changes.  Candidate index = order-major, orientation-fastest —
+        identical to the chunked path and the reference enumeration."""
+        Bo, S = orders.shape
+        R = orients.shape[0]
+        P = S * (S - 1) // 2
+        combo = _combo_index(orders.astype(np.int64))
+        idx4 = self._combo_f_indices(combo)
+        ek = ("E_dev", e_onehot.tobytes())
+        if ek not in combo:
+            combo[ek] = jnp.asarray(e_onehot.reshape(P, 4, R))
+        E = combo[ek]
+        mesh_key = None if self._mesh is None else id(self._mesh)
+        ck = ("cid_dev", mesh_key)
+        if ck not in combo:
+            if self._mesh is None:
+                combo[ck] = jnp.asarray(combo["cid"])
+            else:
+                from hic_genome_assembler_tpu.parallel import mesh as pm
+
+                combo[ck], _ = pm.put_batch_padded(self._mesh, combo["cid"])
+        cid_dev = combo[ck]
+        n_pad = cid_dev.shape[0]
+        kk = min(k, Bo * R)
+        vals, idx = _combo_score_topk_kernel(
+            self._F_flat,
+            jnp.asarray(idx4),
+            cid_dev,
+            E,
+            jnp.asarray(self.c0, dtype=self._F_flat.dtype),
+            min(k, n_pad * R),
+        )
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        keep = idx < Bo * R  # drop mesh-padding rows
+        idx, vals = idx[keep], vals[keep]
+        if len(idx) > kk:
+            top = np.argsort(-vals, kind="stable")[:kk]
             idx, vals = idx[top], vals[top]
         return idx, vals
 

@@ -177,3 +177,37 @@ def test_skew_profile_build_matches_scatter_build():
             )
         )
         np.testing.assert_allclose(h_skew, h_scatter, rtol=1e-6, atol=1e-6)
+
+
+def test_combo_topk_matches_block_scores():
+    """The combo-factorized brute-force path must score every candidate
+    identically (f64 CPU) to the dense block path, and its top-k must
+    contain the global argmax with the same candidate indexing."""
+    rng = np.random.default_rng(11)
+    for sizes in ([5, 4, 3, 2], [3, 3, 2, 2, 1], [4, 2], [2, 2, 2, 2, 2, 2]):
+        S, C = len(sizes), sum(sizes)
+        m = rng.random((C, C))
+        m = (m + m.T).astype(np.float64)
+        sc = cost.BlockScorer(m, sizes, dtype=np.float64)
+        orders = perms.order_batch(S)
+        orients = perms.orient_batch(S)
+        full = sc.score_batch(orders, orients)  # chunked dense path
+        idx, vals = sc._score_topk_combo(
+            orders,
+            orients,
+            _e_onehot(orders.shape[1], orients, np.float64),
+            k=16,
+        )
+        np.testing.assert_allclose(vals, full[idx], rtol=1e-12)
+        assert int(np.argmax(full)) in set(idx.tolist())
+
+
+def _e_onehot(S, orients, dtype):
+    pi, pj = np.triu_indices(S, k=1)
+    P = len(pi)
+    R = orients.shape[0]
+    e_pair = (orients[:, pi] * 2 + orients[:, pj]).astype(np.int32)
+    e = np.zeros((P * 4, R), dtype=dtype)
+    for r in range(R):
+        e[np.arange(P) * 4 + e_pair[r], r] = 1.0
+    return e
