@@ -1,0 +1,400 @@
+"""Benchmark harness for the five BASELINE.json configs.
+
+Each config prints ONE JSON line:
+  {"config": N, "name": ..., "metrics": {...}}
+
+Usage:
+  python benchmarks/run_benchmarks.py --config 1      # one config
+  python benchmarks/run_benchmarks.py --all           # all five
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python benchmarks/run_benchmarks.py --all       # 8-device CPU mesh
+
+Configs (BASELINE.json):
+  1. working-example-scale end-to-end parts 1+2+4 on synthetic data with
+     planted truth (wall-clock + grouping/order truth match);
+  2. part1 dense stages at 1.6 Gb scale (16K x 16K loci): distance
+     transform, rank matrix, growing-window membership counts —
+     single-device and (when >1 device) mesh-sharded;
+  3. part2 brute-force permutation scoring, data-parallel over the
+     mesh's data axis (the bench.py workload, plus the DP variant);
+  4. part3 validPairs streaming rate (native C++ scanner vs python);
+  5. multi-resolution sweep: full pipeline at 3 bin resolutions,
+     replicated vs mesh-sharded scoring, FASTA byte-equality between
+     the two runs.
+
+Scale note: sizes are chosen so every config finishes in ~1-2 min on
+one chip; config 2 uses the full 16K x 16K (1 GiB f32) matrix unless
+--small is passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# sitecustomize may have imported jax with JAX_PLATFORMS latched to the
+# TPU plugin; honor an env request for the CPU mesh programmatically
+# (same pattern as tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _emit(config: int, name: str, metrics: dict) -> None:
+    print(json.dumps({"config": config, "name": name, "metrics": metrics}), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# config 1 — end-to-end parts 1+2+4 with planted truth
+# ---------------------------------------------------------------------------
+
+
+def config1(workdir: str = "/tmp/hic_bench_c1") -> None:
+    from hic_genome_assembler_tpu.io import fasta, filebus
+    from hic_genome_assembler_tpu.models import part1_cluster, part2_order, part4_fasta
+    from hic_genome_assembler_tpu.utils import fixtures
+
+    os.makedirs(workdir, exist_ok=True)
+    genome = fixtures.make_genome(
+        chrom_scaffold_bins=((16, 13, 11, 8, 6, 4), (14, 12, 9, 7, 5), (12, 10, 8, 6)),
+        seed=101,
+        noise=0.004,
+        cross_noise_frac=0.001,
+    )
+    paths = fixtures.write_hicpro_files(genome, os.path.join(workdir, "hicpro"))
+    files = lambda n: os.path.join(workdir, n)  # noqa: E731
+
+    start = time.time()
+    part1_cluster.run_pipeline(
+        hic_pro_bed_file=paths["bed"],
+        hic_pro_bias_file=paths["bias"],
+        hic_pro_matrix_file=paths["matrix"],
+        hic_pro_scaff_size_file=paths["sizes"],
+        dendrogram_order_file=files("dendro.txt"),
+        avg_cluster_plot="",
+        avg_cluster_plot_outlined="",
+        bin_group_file=files("bingroups.txt"),
+        assessment_file=files("assessment.txt"),
+        chromosome_group_file=files("chromgroups.txt"),
+        hyper_geom=True,
+        hmm=False,
+        min_size=5,
+        modularity=0,
+        louvain_rounds=3,
+        psig=0.05,
+        convergence_rounds=10,
+        look_ahead=0.5,
+        resolution=genome.resolution,
+        louvain_seed=0,
+    )
+    t_part1 = time.time() - start
+
+    start = time.time()
+    part2_order.run_pipeline(
+        hic_pro_bed_file=paths["bed"],
+        hic_pro_bias_file=paths["bias"],
+        hic_pro_matrix_file=paths["matrix"],
+        chromosome_group_file=files("chromgroups.txt"),
+        chromosome_order_file=files("chromorder.txt"),
+        save_plots_directory="",
+        chromosome_plot_suffix="",
+        full_genome_plot="",
+        full_genome_plot_title="",
+        plot_order_file=files("plotorder.txt"),
+        n_scaffolds=5,
+        scan_scaffolds=4,
+        resolution=genome.resolution,
+    )
+    t_part2 = time.time() - start
+
+    start = time.time()
+    part4_fasta.run_pipeline(
+        original_fasta_file=paths["fasta"],
+        final_ordering_file=files("chromorder.txt"),
+        assembled_fasta_file=files("assembled.fasta"),
+    )
+    t_part4 = time.time() - start
+
+    # chromosome group file stores per-chromosome scaffold rows
+    got_groups = []
+    for chrom in filebus.read_chroms_from_file(files("chromgroups.txt")):
+        got_groups.append(sorted({row[1] for row in chrom}))
+    want_groups = [sorted(g) for g in genome.true_groups().values()]
+    groups_match = sorted(map(tuple, got_groups)) == sorted(map(tuple, want_groups))
+
+    entries = fasta.read_fasta(files("assembled.fasta"))
+    _emit(
+        1,
+        "end-to-end parts 1+2+4 (planted truth)",
+        {
+            "bins": genome.matrix.shape[0],
+            "part1_s": round(t_part1, 2),
+            "part2_s": round(t_part2, 2),
+            "part4_s": round(t_part4, 2),
+            "total_s": round(t_part1 + t_part2 + t_part4, 2),
+            "groups_match_truth": bool(groups_match),
+            "assembled_entries": len(entries),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# config 2 — part1 dense stages at 1.6 Gb scale (16K x 16K)
+# ---------------------------------------------------------------------------
+
+
+def config2(n: int = 16384) -> None:
+    from hic_genome_assembler_tpu.ops import matrix as dev
+    from hic_genome_assembler_tpu.parallel import mesh as pm
+
+    rng = np.random.default_rng(0)
+    # block-structured synthetic contact map (f32: n^2 * 4 bytes)
+    m = rng.random((n, n), dtype=np.float32) * 0.01
+    pos = np.arange(n, dtype=np.float32)
+    m += 100.0 / (1.0 + np.abs(pos[:, None] - pos[None, :]))
+    m = np.triu(m) + np.triu(m, 1).T
+
+    devices = jax.devices()
+    t_up = time.time()
+    m_dev = jnp.asarray(m)
+    jax.block_until_ready(m_dev)
+    t_up = time.time() - t_up
+
+    def timed(fn, *args, reps=3):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        start = time.time()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.time() - start) / reps, out
+
+    t_dist, dist = timed(dev.to_distance, m_dev)
+    t_rank, rank = timed(dev.rank_matrix_desc, dist)
+    t_counts, _ = timed(dev.growing_window_counts, rank, jnp.int32(7))
+    gbps = (n * n * 4 * 2) / t_dist / 1e9
+
+    metrics = {
+        "n": n,
+        "devices": len(devices),
+        "host_to_device_s": round(t_up, 3),
+        "distance_transform_ms": round(t_dist * 1e3, 2),
+        "distance_effective_GBps": round(gbps, 1),
+        "rank_matrix_ms": round(t_rank * 1e3, 2),
+        "growing_window_counts_ms": round(t_counts * 1e3, 2),
+    }
+    if len(devices) > 1:
+        mesh = pm.make_mesh()
+        m_sh, _ = pm.put_matrix_padded(mesh, m)
+        t_dist_sh, _ = timed(dev.to_distance, m_sh)
+        metrics["sharded_distance_ms"] = round(t_dist_sh * 1e3, 2)
+        metrics["mesh_shape"] = dict(mesh.shape)
+    _emit(2, "part1 dense stages @ 16K x 16K", metrics)
+
+
+# ---------------------------------------------------------------------------
+# config 3 — part2 DP permutation scoring
+# ---------------------------------------------------------------------------
+
+
+def config3() -> None:
+    from hic_genome_assembler_tpu.ops import cost, perms
+    from hic_genome_assembler_tpu.parallel import mesh as pm
+
+    sizes = [512, 384, 320, 256, 224, 160, 128, 64]
+    C = sum(sizes)
+    rng = np.random.default_rng(0)
+    pos = np.arange(C)
+    m = 100.0 / (1.0 + np.abs(pos[:, None] - pos[None, :]))
+    m += rng.random((C, C)) * 0.01
+    m = np.triu(m) + np.triu(m, 1).T
+    orders = perms.order_batch(len(sizes))
+    orients = perms.orient_batch(len(sizes))
+    n_cand = len(orders) * len(orients)
+
+    m_dev = jnp.asarray(m.astype(np.float32))
+    jax.block_until_ready(m_dev)
+    scorer = cost.BlockScorer(m, sizes, dtype=np.float32, device_sub=m_dev)
+    scorer.score_batch_topk(orders, orients)
+    start = time.time()
+    scorer = cost.BlockScorer(m, sizes, dtype=np.float32, device_sub=m_dev)
+    idx, vals = scorer.score_batch_topk(orders, orients)
+    wall = time.time() - start
+
+    metrics = {
+        "candidates": n_cand,
+        "single_device_wall_s": round(wall, 3),
+        "single_device_evals_per_s": round(n_cand / wall, 0),
+    }
+    if len(jax.devices()) > 1:
+        mesh = pm.make_mesh()
+        sc = cost.BlockScorer(m, sizes, dtype=np.float32, device_sub=m_dev, mesh=mesh)
+        sc.score_batch_topk(orders, orients)
+        start = time.time()
+        sc = cost.BlockScorer(m, sizes, dtype=np.float32, device_sub=m_dev, mesh=mesh)
+        idx2, _ = sc.score_batch_topk(orders, orients)
+        wall_dp = time.time() - start
+        metrics["dp_mesh_wall_s"] = round(wall_dp, 3)
+        metrics["dp_mesh_evals_per_s"] = round(n_cand / wall_dp, 0)
+        metrics["dp_matches_single"] = bool(
+            set(np.asarray(idx).tolist()) & set(np.asarray(idx2).tolist())
+        )
+    _emit(3, "part2 DP brute-force scoring (S=8, 5.16M candidates)", metrics)
+
+
+# ---------------------------------------------------------------------------
+# config 4 — part3 validPairs streaming
+# ---------------------------------------------------------------------------
+
+
+def config4(n_pairs: int = 2_000_000, workdir: str = "/tmp/hic_bench_c4") -> None:
+    from hic_genome_assembler_tpu.io import native
+    from hic_genome_assembler_tpu.models import part3_orient
+
+    os.makedirs(workdir, exist_ok=True)
+    path = os.path.join(workdir, "valid.pairs")
+    rng = np.random.default_rng(0)
+    scaffs = [f"scaf_{i}" for i in range(40)]
+    if not os.path.exists(path):
+        with open(path, "w") as fh:
+            s1 = rng.integers(0, len(scaffs), n_pairs)
+            s2 = rng.integers(0, len(scaffs), n_pairs)
+            p1 = rng.integers(1, 500_000, n_pairs)
+            p2 = rng.integers(1, 500_000, n_pairs)
+            for i in range(n_pairs):
+                fh.write(
+                    f"r{i}\t{scaffs[s1[i]]}\t{p1[i]}\t+\t{scaffs[s2[i]]}\t{p2[i]}\t-\tx\n"
+                )
+    keys = {
+        ("scaf_1", "scaf_2"): [],
+        ("scaf_2", "scaf_1"): [],
+        ("scaf_3", "scaf_4"): [],
+    }
+
+    native_ok = native.available()
+    start = time.time()
+    kept = part3_orient.read_valid_pair_file(path, keys)
+    wall = time.time() - start
+    _emit(
+        4,
+        "part3 validPairs streaming",
+        {
+            "lines": n_pairs,
+            "native_scanner": bool(native_ok),
+            "wall_s": round(wall, 3),
+            "lines_per_s": round(n_pairs / wall, 0),
+            "kept_pairs": sum(len(v) for v in kept.values()),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# config 5 — multi-resolution sweep, replicated vs sharded, FASTA equality
+# ---------------------------------------------------------------------------
+
+
+def config5(workdir: str = "/tmp/hic_bench_c5") -> None:
+    from hic_genome_assembler_tpu.io import hicpro, filebus, fasta
+    from hic_genome_assembler_tpu.models import part2_order, part4_fasta
+    from hic_genome_assembler_tpu.parallel import mesh as pm
+    from hic_genome_assembler_tpu.utils import fixtures
+
+    results = {}
+    meshes = [("replicated", None)]
+    if len(jax.devices()) > 1:
+        meshes.append(("sharded", pm.make_mesh()))
+    for resolution in (100_000, 250_000, 500_000):
+        genome = fixtures.make_genome(
+            chrom_scaffold_bins=((12, 10, 7, 5), (11, 9, 6)),
+            seed=5,
+            noise=0.004,
+            resolution=resolution,
+        )
+        sub = os.path.join(workdir, str(resolution))
+        os.makedirs(sub, exist_ok=True)
+        paths = fixtures.write_hicpro_files(genome, os.path.join(sub, "hicpro"))
+        fasta_in = paths["fasta"]
+        # planted-truth groups play the part1 role so the sweep isolates
+        # part2+4
+        group_file = os.path.join(sub, "groups.txt")
+        bin_list = hicpro.initiate_loci(paths["bed"], paths["bias"])
+        by_name = {}
+        for b in bin_list:
+            by_name.setdefault(b.chrom, []).append(b)
+        cuts, flat = [], []
+        for names in genome.true_groups().values():
+            for nm in names:
+                flat.extend(by_name[nm])
+            cuts.append(len(flat))
+        filebus.write_bin_groupings(cuts[:-1], flat, group_file)
+
+        outputs = {}
+        for tag, mesh in meshes:
+            order_file = os.path.join(sub, f"order_{tag}.txt")
+            start = time.time()
+            part2_order.run_pipeline(
+                hic_pro_bed_file=paths["bed"],
+                hic_pro_bias_file=paths["bias"],
+                hic_pro_matrix_file=paths["matrix"],
+                chromosome_group_file=group_file,
+                chromosome_order_file=order_file,
+                save_plots_directory="",
+                chromosome_plot_suffix="",
+                full_genome_plot="",
+                full_genome_plot_title="",
+                plot_order_file=os.path.join(sub, f"plot_{tag}.txt"),
+                n_scaffolds=4,
+                scan_scaffolds=3,
+                resolution=resolution,
+                mesh=mesh,
+            )
+            wall = time.time() - start
+            out_fasta = os.path.join(sub, f"assembled_{tag}.fasta")
+            part4_fasta.run_pipeline(
+                original_fasta_file=fasta_in,
+                final_ordering_file=order_file,
+                assembled_fasta_file=out_fasta,
+            )
+            outputs[tag] = out_fasta
+            results[f"{resolution // 1000}kb_{tag}_part2_s"] = round(wall, 2)
+        if len(outputs) == 2:
+            a = open(outputs["replicated"], "rb").read()
+            b = open(outputs["sharded"], "rb").read()
+            results[f"{resolution // 1000}kb_fasta_equal"] = a == b
+    _emit(5, "multi-resolution sweep (part2+4, replicated vs sharded)", results)
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, choices=sorted(CONFIGS))
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--small", action="store_true", help="shrink config 2 to 4K")
+    args = ap.parse_args()
+    todo = sorted(CONFIGS) if args.all or args.config is None else [args.config]
+    for c in todo:
+        if c == 2 and args.small:
+            config2(n=4096)
+        else:
+            CONFIGS[c]()
+
+
+if __name__ == "__main__":
+    main()

@@ -137,97 +137,80 @@ class DirectScorer:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("Sp",))
-def _build_pair_profiles_skew(m_pad, blk_idx, remap_idx, Sp):
-    """Scatter-free pair-profile build: block gather + skew-reshape
-    diagonal sums + one static remap gather.
+@functools.partial(jax.jit, static_argnames=("S", "k"))
+def _skew_profile_chunk(m_pad, blk_idx, sizes_s, chunk_start, S, k):
+    """Pair profiles for scaffold rows [chunk_start, chunk_start + k).
 
-    TPU scatter-add (the ``.at[].add`` path below) serializes on
-    duplicate indices and costs ~0.5s at C=2048; everything here is
-    bandwidth-shaped instead.  Steps:
+    Scatter-free: TPU scatter-add (``_build_pair_profiles``) serializes
+    on duplicate indices (~170ms at C=2048 vs ~1ms here); everything in
+    this path is bandwidth-shaped instead.
 
     1. ``G[s, t, a, b] = M[offs_s + a, offs_t + b]`` — a padded block
-       view of the chromosome matrix built with one static-index gather
-       (``m_pad`` carries a zero guard row/col for the a >= c_s pad
-       region).
-    2. All four orientation profiles are (anti)diagonal sums of the
-       G planes: e in {0,3} need ``Ddiff[v] = sum_{b-a+cmax-1=v}`` and
-       e in {1,2} need ``Dsum[u] = sum_{a+b=u}``.  Both come from ONE
-       skew primitive (pad each plane row, flat-reshape so row a lands
-       shifted by a, reduce over a) — pure reshapes + a sum, no
-       scatter; Ddiff is the skew of the a-reversed plane.
-    3. A single precomputed static gather (``remap_idx``, host-built in
-       ``_profile_remap_indices``) places each (s, t, e, m) entry from
-       the stacked [Dsum, Ddiff] profiles, mapping per-(s,t) constant
-       shifts/flips and guarding out-of-range offsets to a zero slot.
-
-    Memory: G is (S*cmax)^2 floats, so this path is gated by the caller
-    to S*cmax <= _SKEW_BUILD_LIMIT; ragged chromosomes with many
-    scaffolds fall back to the scatter build.
-    """
-    S, c = blk_idx.shape
-    L = 2 * c - 1
-    flat_idx = blk_idx.reshape(-1)
-    G = m_pad[flat_idx][:, flat_idx].reshape(S, c, S, c).transpose(0, 2, 1, 3)
-
-    def antidiag(planes):
-        # out[..., u] = sum_a planes[..., a, u - a]
-        padded = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, c)))
-        flat = padded.reshape(S, S, c * 2 * c)[..., : c * L]
-        return flat.reshape(S, S, c, L).sum(axis=2)
-
-    Dsum = antidiag(G)
-    Ddiff = antidiag(G[:, :, ::-1, :])
-    prof = jnp.stack([Dsum, Ddiff])                        # [2, S, S, L]
-    prof = jnp.pad(prof, ((0, 0), (0, 0), (0, 0), (0, 1)))  # guard zero
-    h4 = prof.reshape(-1)[remap_idx]                       # [S, S, 4, L]
-    eye = jnp.arange(S)[:, None] == jnp.arange(S)[None, :]
-    h4 = jnp.where(eye[:, :, None, None], 0.0, h4)
-    h4 = jnp.pad(h4, ((0, Sp - S), (0, Sp - S), (0, 0), (0, 0)))
-    return h4.reshape(Sp * Sp * 4, L)
-
-
-def _profile_remap_indices(sizes: np.ndarray) -> np.ndarray:
-    """Static gather map for ``_build_pair_profiles_skew`` step 3.
-
-    Returns int32[S, S, 4, L] indices into the flattened padded profile
-    stack [2, S, S, L+1] (which=0 -> Dsum, 1 -> Ddiff; index L = guard
-    zero).  Orientation offset formulas match the scatter build below
-    (and Scaffold.flipOrientation semantics, orderGenome.py:246-254):
+       view built with one static-index gather (``m_pad`` carries a zero
+       guard row/col for the a >= c_s pad region).
+    2. All four orientation profiles are (anti)diagonal sums of the G
+       planes: e in {0,3} need ``Ddiff[v] = sum_{b-a+cmax-1=v}``, e in
+       {1,2} need ``Dsum[u] = sum_{a+b=u}``.  Both come from ONE skew
+       primitive (pad each plane row by cmax, flat-reshape so row a
+       lands shifted by a, reduce over a) — pure reshapes + a sum;
+       Ddiff is the skew of the a-reversed plane.
+    3. Per-(s, t) constant shifts/flips place each (e, m) entry from the
+       stacked [Dsum, Ddiff] profiles; index maps are computed on device
+       from the sizes vector (guard slot L = zero):
 
         e=0 (+,+): m = (b - a) + shift          -> Ddiff[m]
         e=1 (+,-): m = (ct-1 - (a+b)) + shift   -> Dsum[ct-1+shift-m]
         e=2 (-,+): m = (a+b) - cs + 1 + shift   -> Dsum[m+cs-1-shift]
         e=3 (-,-): m = (ct-cs) - (b-a) + shift  -> Ddiff[(ct-cs)+2*shift-m]
+
+    (offset formulas per Scaffold.flipOrientation semantics,
+    orderGenome.py:246-254).  Chunking over s rows bounds the G
+    transient to k * cmax * S * cmax floats regardless of scaffold
+    count.  Returns h4 [k, S, 4, L].
     """
-    sizes = np.asarray(sizes, dtype=np.int64)
-    S = len(sizes)
-    cmax = int(sizes.max())
-    L = 2 * cmax - 1
-    shift = cmax - 1
-    m = np.arange(L)
-    cs = sizes[:, None, None]                      # [S, 1, 1]
-    ct = sizes[None, :, None]                      # [1, S, 1]
-    pos = np.empty((S, S, 4, L), dtype=np.int64)
-    which = np.empty((S, S, 4, L), dtype=np.int64)
-    pos[:, :, 0, :] = np.broadcast_to(m, (S, S, L))
-    which[:, :, 0, :] = 1
-    pos[:, :, 1, :] = ct - 1 + shift - m
-    which[:, :, 1, :] = 0
-    pos[:, :, 2, :] = m + cs - 1 - shift
-    which[:, :, 2, :] = 0
-    pos[:, :, 3, :] = (ct - cs) + 2 * shift - m
-    which[:, :, 3, :] = 1
-    pos = np.where((pos >= 0) & (pos < L), pos, L)  # guard slot
-    s_idx = np.arange(S)[:, None, None, None]
-    t_idx = np.arange(S)[None, :, None, None]
-    flat = ((which * S + s_idx) * S + t_idx) * (L + 1) + pos
-    return flat.astype(np.int32)
+    c = blk_idx.shape[1]
+    L = 2 * c - 1
+    shift = c - 1
+    rows = jax.lax.dynamic_slice_in_dim(blk_idx, chunk_start, k, axis=0)
+    G = m_pad[rows.reshape(-1)][:, blk_idx.reshape(-1)]
+    G = G.reshape(k, c, S, c).transpose(0, 2, 1, 3)        # [k, S, c, c]
+
+    def antidiag(planes):
+        # out[..., u] = sum_a planes[..., a, u - a]
+        padded = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, c)))
+        flat = padded.reshape(k, S, c * 2 * c)[..., : c * L]
+        return flat.reshape(k, S, c, L).sum(axis=2)
+
+    Dsum = antidiag(G)
+    Ddiff = antidiag(G[:, :, ::-1, :])
+    # [k, S, 2, L+1] profiles with guard zero at index L
+    prof = jnp.stack([Dsum, Ddiff], axis=2)
+    prof = jnp.pad(prof, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    m = jnp.arange(L)
+    cs = jax.lax.dynamic_slice_in_dim(sizes_s, chunk_start, k)[:, None, None]
+    ct = sizes_s[None, :, None]                            # [1, S, 1]
+    pos = jnp.stack(
+        [
+            jnp.broadcast_to(m, (k, S, L)),                          # e=0 -> Ddiff
+            jnp.broadcast_to(ct - 1 + shift - m, (k, S, L)),         # e=1 -> Dsum
+            jnp.broadcast_to(m + cs - 1 - shift, (k, S, L)),         # e=2 -> Dsum
+            jnp.broadcast_to((ct - cs) + 2 * shift - m, (k, S, L)),  # e=3 -> Ddiff
+        ],
+        axis=2,
+    )                                                      # [k, S, 4, L]
+    pos = jnp.where((pos >= 0) & (pos < L), pos, L)
+    which = jnp.array([1, 0, 0, 1])[None, None, :, None]
+    flat_prof = prof.reshape(k, S, 2 * (L + 1))
+    h4 = jnp.take_along_axis(
+        flat_prof[:, :, None, :], which * (L + 1) + pos, axis=3
+    )                                                      # [k, S, 4, L]
+    s_ids = chunk_start + jnp.arange(k)
+    eye = s_ids[:, None] == jnp.arange(S)[None, :]
+    return jnp.where(eye[:, :, None, None], 0.0, h4)
 
 
-# G = (S*cmax)^2 floats; 16384^2 * 4B = 1 GiB transient — above this the
-# block-padded view is worse than the scatter it replaces.
-_SKEW_BUILD_LIMIT = 16384
+# transient G budget per chunk: k * cmax * S * cmax floats <= 64M (256MB)
+_SKEW_CHUNK_ELEMS = 64 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("Sp", "L", "cmax"))
@@ -554,18 +537,35 @@ class ChromosomeScorer:
 
         if device_sub is None:
             device_sub = jnp.asarray(sub.astype(dtype))
-        if self.S * cmax <= _SKEW_BUILD_LIMIT:
+        k = _SKEW_CHUNK_ELEMS // max(cmax * self.S * cmax, 1)
+        if k >= 1:
+            k = min(k, self.S)
             m_pad = jnp.pad(device_sub.astype(dtype), ((0, 1), (0, 1)))
             blk_idx = np.full((self.S, cmax), self.C, dtype=np.int32)
             for s, (o, c) in enumerate(zip(offsets, self.sizes)):
                 blk_idx[s, :c] = np.arange(o, o + c)
-            self._h = _build_pair_profiles_skew(
-                m_pad,
-                jnp.asarray(blk_idx),
-                jnp.asarray(_profile_remap_indices(self.sizes)),
-                self.Sp,
+            blk_d = jnp.asarray(blk_idx)
+            sizes_d32 = jnp.asarray(self.sizes.astype(np.int32))
+            chunks = []
+            for start in range(0, self.S - self.S % k, k):
+                chunks.append(
+                    _skew_profile_chunk(m_pad, blk_d, sizes_d32, start, self.S, k)
+                )
+            rem = self.S % k
+            if rem:
+                chunks.append(
+                    _skew_profile_chunk(
+                        m_pad, blk_d, sizes_d32, self.S - rem, self.S, rem
+                    )
+                )
+            h4 = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+            h4 = jnp.pad(
+                h4, ((0, self.Sp - self.S), (0, self.Sp - self.S), (0, 0), (0, 0))
             )
+            self._h = h4.reshape(self.Sp * self.Sp * 4, self.L)
         else:
+            # degenerate scale (cmax^2 * S alone exceeds the transient
+            # budget): scatter-add fallback
             self._h = _build_pair_profiles(
                 device_sub.astype(dtype),
                 jnp.asarray(sid),

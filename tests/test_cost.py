@@ -136,47 +136,49 @@ def test_calc_possible_perms():
     assert perms.calc_possible_perms(8) == 5160960
 
 
-def test_skew_profile_build_matches_scatter_build():
-    """The scatter-free skew build must reproduce the scatter build's
-    pair-profile table exactly (both f64 on CPU -> bitwise comparable
-    up to reduction-order 1e-12)."""
-    import jax.numpy as jnp
-
+def test_pair_profile_build_matches_definition_oracle():
+    """The device pair-profile build must equal the definition: h[(s*Sp
+    + t)*4 + e, m] = sum of cross-scaffold entries M[a, b] whose
+    orientation-specific offset maps to m (cost.py build formulas)."""
     rng = np.random.default_rng(7)
-    for sizes in ([5, 4, 3, 3, 2, 1], [1, 1, 1], [7], [4, 4, 4, 4], [6, 1]):
+    cases = [
+        [5, 4, 3, 3, 2, 1],
+        [1, 1, 1],
+        [7],
+        [4, 4, 4, 4],
+        [6, 1],
+        [9, 7, 5, 5, 4, 3, 3, 2, 2, 2, 1, 1, 1],
+    ]
+    for sizes in cases:
         sizes_arr = np.asarray(sizes, dtype=np.int64)
         S, C = len(sizes), int(sizes_arr.sum())
         cmax = int(sizes_arr.max())
         L = 2 * cmax - 1
         Sp = S + 1
+        shift = cmax - 1
         m = rng.random((C, C))
         m = (m + m.T).astype(np.float64)
-        sid = np.repeat(np.arange(S), sizes_arr).astype(np.int32)
-        loc = np.concatenate([np.arange(c) for c in sizes_arr]).astype(np.int32)
-        h_scatter = np.asarray(
-            cost._build_pair_profiles(
-                jnp.asarray(m.astype(np.float32)),
-                jnp.asarray(sid),
-                jnp.asarray(loc),
-                jnp.asarray(sizes_arr.astype(np.int32)),
-                Sp, L, cmax,
-            )
-        )
         offsets = np.concatenate([[0], np.cumsum(sizes_arr)[:-1]])
-        m_pad = np.zeros((C + 1, C + 1), dtype=np.float32)
-        m_pad[:C, :C] = m
-        blk_idx = np.full((S, cmax), C, dtype=np.int32)
-        for s, (o, c) in enumerate(zip(offsets, sizes_arr)):
-            blk_idx[s, :c] = np.arange(o, o + c)
-        h_skew = np.asarray(
-            cost._build_pair_profiles_skew(
-                jnp.asarray(m_pad),
-                jnp.asarray(blk_idx),
-                jnp.asarray(cost._profile_remap_indices(sizes_arr)),
-                Sp,
-            )
-        )
-        np.testing.assert_allclose(h_skew, h_scatter, rtol=1e-6, atol=1e-6)
+        want = np.zeros((4 * Sp * Sp, L))
+        for s in range(S):
+            for t in range(S):
+                if s == t:
+                    continue
+                cs, ct = sizes_arr[s], sizes_arr[t]
+                for a in range(cs):
+                    for b in range(ct):
+                        v = m[offsets[s] + a, offsets[t] + b]
+                        for e, mm in enumerate(
+                            (
+                                (b - a) + shift,
+                                (ct - 1 - (a + b)) + shift,
+                                ((a + b) - cs + 1) + shift,
+                                ((ct - cs) - (b - a)) + shift,
+                            )
+                        ):
+                            want[(s * Sp + t) * 4 + e, np.clip(mm, 0, L - 1)] += v
+        got = np.asarray(cost.ChromosomeScorer(m, sizes, dtype=np.float64)._h)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
 
 
 def test_combo_topk_matches_block_scores():
