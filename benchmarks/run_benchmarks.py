@@ -175,18 +175,31 @@ def config2(n: int = 16384) -> None:
     jax.block_until_ready(m_dev)
     t_up = time.time() - t_up
 
-    def timed(fn, *args, reps=3):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        start = time.time()
-        for _ in range(reps):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        return (time.time() - start) / reps, out
+    def timed(fn, variants, reps=3):
+        """Per-call wall with every output CONSUMED on host.
 
-    t_dist, dist = timed(dev.to_distance, m_dev)
-    t_rank, rank = timed(dev.rank_matrix_desc, dist)
-    t_counts, _ = timed(dev.growing_window_counts, rank, jnp.int32(7))
+        The TPU runtime here defers/elides work whose results are never
+        read — block_until_ready alone reports impossible times (e.g.
+        28 TB/s "effective bandwidth") — so each rep's output feeds a
+        scalar that is pulled back to host.
+        """
+        out = fn(variants[0])
+        float(out.ravel()[0])  # warm + force
+        start = time.time()
+        acc = out.ravel()[0] * 0
+        for i in range(reps):
+            acc = acc + fn(variants[i % len(variants)]).ravel()[0]
+        float(acc)
+        return (time.time() - start) / reps, fn(variants[0])
+
+    m_vars = [m_dev, m_dev + np.float32(1e-3), m_dev + np.float32(2e-3)]
+    t_dist, dist = timed(dev.to_distance, m_vars)
+    dist_vars = [dev.to_distance(v) for v in m_vars]
+    t_rank, rank = timed(dev.rank_matrix_desc, dist_vars)
+    rank_vars = [dev.rank_matrix_desc(v) for v in dist_vars]
+    t_counts, _ = timed(
+        lambda r: dev.growing_window_counts(r, jnp.int32(7)), rank_vars
+    )
     gbps = (n * n * 4 * 2) / t_dist / 1e9
 
     metrics = {
@@ -201,7 +214,7 @@ def config2(n: int = 16384) -> None:
     if len(devices) > 1:
         mesh = pm.make_mesh()
         m_sh, _ = pm.put_matrix_padded(mesh, m)
-        t_dist_sh, _ = timed(dev.to_distance, m_sh)
+        t_dist_sh, _ = timed(dev.to_distance, [m_sh, m_sh + np.float32(1e-3)])
         metrics["sharded_distance_ms"] = round(t_dist_sh * 1e3, 2)
         metrics["mesh_shape"] = dict(mesh.shape)
     _emit(2, "part1 dense stages @ 16K x 16K", metrics)
