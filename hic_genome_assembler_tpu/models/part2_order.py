@@ -352,12 +352,23 @@ def order_genome(
     save_plot_dir: Optional[str] = None,
     plot_title_suffix: Optional[str] = None,
     mesh=None,
+    chrom_indices: Optional[Sequence[int]] = None,
 ) -> List[List[Scaffold]]:
-    """All chromosomes (orderGenome.py:591-628)."""
+    """All chromosomes (orderGenome.py:591-628).
+
+    ``chrom_indices``: optional chromosome-shard for multi-host EP runs
+    (parallel.distributed.shard_chromosomes) — only those chromosomes
+    are searched; the returned list holds None for unowned slots so
+    global numbering is preserved for the shard writer.
+    """
     start = time.time()
     ctx = _ChromosomeContext(matrix, bin_list, mesh=mesh)
+    owned = set(range(len(chrom_list))) if chrom_indices is None else set(chrom_indices)
     genome_order: List[List[Scaffold]] = []
     for i, chrom_group in enumerate(chrom_list):
+        if i not in owned:
+            genome_order.append(None)
+            continue
         print("#####################\n#####################")
         print("Working on Chr_" + str(i + 1) + "...")
         chrom_order = order_chromosome(

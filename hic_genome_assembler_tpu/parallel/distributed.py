@@ -1,0 +1,131 @@
+"""Multi-host bring-up + chromosome-level task sharding (EP/PP).
+
+The reference orders chromosomes in one sequential loop
+(orderGenome.py:608-622); chromosomes are independent, so on a pod each
+host group takes a shard of them (SURVEY.md §2b "EP-like" row) and the
+partial order files are merged over the file bus — the same
+intermediate-file formats double as the inter-host hand-off, keeping
+the merge deterministic and resumable.
+
+Collectives backend: ``init_distributed`` wraps
+``jax.distributed.initialize`` (XLA runtime over ICI/DCN — no NCCL/MPI
+layer to manage); inside-a-chromosome parallelism (DP over candidate
+batches, TP/SP over the matrix) is handled by the mesh shardings in
+``parallel.mesh``, orthogonal to the chromosome sharding here.
+
+Pod usage:
+    # on every host (env or args pick the coordinator):
+    init_distributed()
+    mine = shard_chromosomes(n_chroms, jax.process_index(), jax.process_count())
+    ...order only ``mine``, write orderings to f"{out}.shard{idx}"...
+    # after all hosts finish (the file bus is the barrier):
+    merge_shard_orderings([f"{out}.shard{i}" for i in range(n)], n_chroms, out)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from hic_genome_assembler_tpu.io import filebus
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Initialize jax.distributed when running multi-process; no-op for
+    a single process.  Returns (process_index, process_count).
+
+    Arguments default to the standard JAX env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID), so a
+    pod launcher only needs the environment set.
+    """
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if coordinator_address and num_processes > 1:
+        if process_id is None:
+            process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def shard_chromosomes(
+    n_chroms: int, process_index: int, process_count: int
+) -> List[int]:
+    """Round-robin chromosome ownership.
+
+    Chromosome groups are size-ordered (largest first,
+    writeChromosomeGroupingsToFile semantics), so round-robin balances
+    the heavy early chromosomes across hosts better than contiguous
+    blocks.
+    """
+    if process_count <= 1:
+        return list(range(n_chroms))
+    return [c for c in range(n_chroms) if c % process_count == process_index]
+
+
+def merge_shard_orderings(
+    shard_files: Sequence[str], n_chroms: int, out_path: str
+) -> None:
+    """Merge per-process partial order files into the canonical
+    chromosome order file.
+
+    Each shard file holds only its owner's chromosomes but keeps their
+    GLOBAL ``### Chromosome i ###`` numbering, so the merge is a simple
+    renumber-free interleave; every chromosome must appear exactly once
+    across the shards.
+    """
+    merged: Dict[int, List[Tuple[str, str]]] = {}
+    for path in shard_files:
+        for global_idx, rows in _read_shard(path).items():
+            if global_idx in merged:
+                raise ValueError(
+                    f"chromosome {global_idx} appears in multiple shards"
+                )
+            merged[global_idx] = rows
+    missing = sorted(set(range(1, n_chroms + 1)) - set(merged))
+    if missing:
+        raise ValueError(f"shards missing chromosomes {missing}")
+    filebus.write_scaffold_orderings(
+        [merged[i] for i in sorted(merged)], out_path
+    )
+
+
+def write_shard_orderings(
+    orderings: Dict[int, List[Tuple[str, str]]], out_path: str
+) -> None:
+    """Write one process's chromosomes ({global 1-based idx: [(name,
+    orient), ...]}) preserving global numbering."""
+    with open(out_path, "w") as fh:
+        for idx in sorted(orderings):
+            fh.write(f"### Chromosome grouping {idx} ###\n")
+            for name, orientation in orderings[idx]:
+                fh.write(f"{name}\t{orientation}\n")
+
+
+def _read_shard(path: str) -> Dict[int, List[Tuple[str, str]]]:
+    out: Dict[int, List[Tuple[str, str]]] = {}
+    current: Optional[int] = None
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line.startswith("###"):
+                current = int(line.split()[3])
+                out[current] = []
+            else:
+                name, orientation = line.split("\t")
+                out[current].append((name, orientation))
+    return out
