@@ -228,6 +228,70 @@ def config2(n: int = 16384) -> None:
     _emit(2, "part1 dense stages @ 16K x 16K", metrics)
 
 
+def config2_part1_e2e(n: int = 16384, n_chroms: int = 25) -> None:
+    """Full part-1 algorithm chain at 1.6 Gb scale (no file ingestion):
+    distance (host f64, exact mode) -> UPGMA (scipy C) -> leaf reorder
+    -> similarity + rank matrix -> hypergeometric cut detection (Pallas
+    scans on TPU) -> cut-noise filter.  Asserts the planted chromosome
+    count is recovered."""
+    from hic_genome_assembler_tpu.cluster import breakpoints, upgma
+    from hic_genome_assembler_tpu.ops import oracle
+
+    rng = np.random.default_rng(0)
+    # planted block-diagonal genome: n_chroms chromosomes, power-law decay
+    sizes = rng.dirichlet(np.ones(n_chroms) * 4.0) * n
+    sizes = np.maximum(sizes.astype(int), 50)
+    sizes[0] += n - sizes.sum()
+    chrom_of = np.repeat(np.arange(n_chroms), sizes)
+    pos = np.concatenate([np.arange(c) for c in sizes]).astype(np.float64)
+    same = chrom_of[:, None] == chrom_of[None, :]
+    dist = np.abs(pos[:, None] - pos[None, :])
+    m = np.where(same, 100.0 / (1.0 + dist), 0.0)
+    jitter = np.triu(rng.random((n, n)) * 0.3, 1)
+    m = m + np.where(same, jitter + jitter.T, 0.0)
+    np.fill_diagonal(m, 100.0)
+    # shuffle rows so clustering has real work to do
+    perm = rng.permutation(n)
+    m = m[np.ix_(perm, perm)]
+    row_sums = m.sum(axis=1)
+
+    t0 = time.time()
+    d = oracle.to_distance(m)
+    t_dist = time.time() - t0
+    t0 = time.time()
+    dendro = upgma.average_cluster_leaf_order(d, [str(i) for i in range(n)])
+    t_upgma = time.time() - t0
+    leaves = dendro["leaves"]
+    t0 = time.time()
+    d = d[np.ix_(leaves, leaves)]
+    sim = oracle.to_similarity(d, row_sums[leaves])
+    rank = oracle.rank_matrix_desc(sim)
+    t_rank = time.time() - t0
+    t0 = time.time()
+    counts = breakpoints.RankCounts(rank)
+    initial = breakpoints.pre_process_all_matrix_breakpoints(
+        counts, min_size=5, min_frac=0.02, psig=0.05
+    )
+    filtered = breakpoints.filter_noisy_breakpoints(counts, initial, psig=0.05)
+    t_cuts = time.time() - t0
+    _emit(
+        2,
+        "part1 e2e chain @ 16K x 16K (25 planted chromosomes)",
+        {
+            "n": n,
+            "planted_chromosomes": n_chroms,
+            "distance_f64_host_s": round(t_dist, 2),
+            "upgma_s": round(t_upgma, 2),
+            "similarity_plus_rank_s": round(t_rank, 2),
+            "cut_detection_s": round(t_cuts, 2),
+            "total_s": round(t_dist + t_upgma + t_rank + t_cuts, 2),
+            "initial_cuts": len(initial),
+            "filtered_cuts": len(filtered),
+            "groups_found": len(filtered) + 1,
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # config 3 — part2 DP permutation scoring
 # ---------------------------------------------------------------------------
@@ -408,7 +472,15 @@ def main() -> None:
     ap.add_argument("--config", type=int, choices=sorted(CONFIGS))
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--small", action="store_true", help="shrink config 2 to 4K")
+    ap.add_argument(
+        "--part1-e2e",
+        action="store_true",
+        help="run the full part-1 chain at 16K (config 2 variant)",
+    )
     args = ap.parse_args()
+    if args.part1_e2e:
+        config2_part1_e2e(n=4096 if args.small else 16384)
+        return
     todo = sorted(CONFIGS) if args.all or args.config is None else [args.config]
     for c in todo:
         if c == 2 and args.small:

@@ -74,24 +74,62 @@ class RankCounts:
         import jax
 
         self._use_pallas = jax.devices()[0].platform not in ("cpu",)
+        # (start,) / (start, cut) -> counts.  The cut-noise filter's
+        # convergence rounds re-request the same windows many times and
+        # each device round trip costs ~100ms over a thin host link.
+        self._cache: Dict[tuple, np.ndarray] = {}
 
     def growing(self, start: int) -> np.ndarray:
+        key = (int(start),)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
         if self._use_pallas:
             from hic_genome_assembler_tpu.ops import pallas_kernels as pk
 
-            return np.asarray(pk.growing_window_counts(self._dev, start))
-        from hic_genome_assembler_tpu.ops import matrix as dev
+            out = np.asarray(pk.growing_window_counts(self._dev, start))
+        else:
+            from hic_genome_assembler_tpu.ops import matrix as dev
 
-        return np.asarray(dev.growing_window_counts(self._dev, jnp.int32(start)))
+            out = np.asarray(dev.growing_window_counts(self._dev, jnp.int32(start)))
+        self._cache[key] = out
+        return out
 
     def fixed(self, start: int, cut: int) -> np.ndarray:
+        key = (int(start), int(cut))
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
         if self._use_pallas:
             from hic_genome_assembler_tpu.ops import pallas_kernels as pk
 
-            return np.asarray(pk.fixed_window_counts(self._dev, start, cut))
-        from hic_genome_assembler_tpu.ops import matrix as dev
+            out = np.asarray(pk.fixed_window_counts(self._dev, start, cut))
+        else:
+            from hic_genome_assembler_tpu.ops import matrix as dev
 
-        return np.asarray(dev.fixed_window_counts(self._dev, jnp.int32(start), jnp.int32(cut)))
+            out = np.asarray(
+                dev.fixed_window_counts(self._dev, jnp.int32(start), jnp.int32(cut))
+            )
+        self._cache[key] = out
+        return out
+
+    def prefetch_fixed(self, start: int, cuts: Sequence[int]) -> None:
+        """Batch-load fixed counts for every (start, cut) not yet cached
+        — ONE device dispatch instead of len(cuts) round trips."""
+        missing = [int(c) for c in cuts if (int(start), int(c)) not in self._cache]
+        if not missing:
+            return
+        if self._use_pallas:
+            from hic_genome_assembler_tpu.ops import pallas_kernels as pk
+
+            rows = pk.fixed_window_counts_many(
+                self._dev, [(int(start), c) for c in missing]
+            )
+            for c, row in zip(missing, rows):
+                self._cache[(int(start), c)] = row
+        else:
+            for c in missing:
+                self.fixed(start, c)
 
 
 def find_matrix_pvalue_breakpoints(
@@ -222,6 +260,7 @@ def filter_noisy_breakpoints(
             M = n - start
             noise_found = 0
             select_from = None
+            counts.prefetch_fixed(start, altered)
             for i, c in enumerate(altered):
                 local_size = c - start
                 # row significance flags for this (start, c) window

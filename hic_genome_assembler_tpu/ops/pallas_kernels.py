@@ -94,6 +94,41 @@ def _counts_call(rank_mat, params, interpret=False):
     return out[:, 0]
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _counts_call_many(rank_mat, params_batch, interpret=False):
+    """K scans in ONE dispatch: lax.map over the Pallas kernel.
+
+    Over a thin host link each dispatch costs far more than the scan
+    itself; the cut-noise filter needs counts for every (start, cut) in
+    its working set per round, so they ship as one [K, 3] batch.
+    """
+    return jax.lax.map(
+        lambda p: _counts_call(rank_mat, p, interpret=interpret), params_batch
+    )
+
+
+def fixed_window_counts_many(
+    rank_mat: jnp.ndarray,
+    pairs,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Fixed-window counts for many (start, cut) pairs; one device
+    dispatch (K padded to the next power of two to bound executables).
+    Returns int32[K, n]."""
+    n = rank_mat.shape[0]
+    padded = _pad_rank(rank_mat.astype(jnp.int32))
+    pairs = np.asarray(pairs, dtype=np.int32)
+    K = pairs.shape[0]
+    Kp = 1 << max(K - 1, 0).bit_length() if K else 1
+    params = np.zeros((Kp, 3), dtype=np.int32)
+    params[:K, 0] = pairs[:, 0]
+    params[:K, 1] = pairs[:, 1]
+    if K < Kp:
+        params[K:] = params[max(K - 1, 0)]
+    out = _counts_call_many(padded, jnp.asarray(params), interpret=interpret)
+    return np.asarray(out[:K, :n])
+
+
 def _pad_rank(rank_mat: jnp.ndarray) -> jnp.ndarray:
     """Pad to tile multiples with -1 rank entries (never in [start, hi],
     so padding contributes zero to every count)."""
