@@ -239,7 +239,7 @@ def config2_part1_e2e(n: int = 16384, n_chroms: int = 25) -> None:
 
     rng = np.random.default_rng(0)
     # planted block-diagonal genome: n_chroms chromosomes, power-law decay
-    sizes = rng.dirichlet(np.ones(n_chroms) * 4.0) * n
+    sizes = rng.dirichlet(np.ones(n_chroms) * 15.0) * n
     sizes = np.maximum(sizes.astype(int), 50)
     sizes[0] += n - sizes.sum()
     chrom_of = np.repeat(np.arange(n_chroms), sizes)
@@ -247,7 +247,7 @@ def config2_part1_e2e(n: int = 16384, n_chroms: int = 25) -> None:
     same = chrom_of[:, None] == chrom_of[None, :]
     dist = np.abs(pos[:, None] - pos[None, :])
     m = np.where(same, 100.0 / (1.0 + dist), 0.0)
-    jitter = np.triu(rng.random((n, n)) * 0.3, 1)
+    jitter = np.triu(rng.random((n, n)) * 0.1, 1)
     m = m + np.where(same, jitter + jitter.T, 0.0)
     np.fill_diagonal(m, 100.0)
     # shuffle rows so clustering has real work to do

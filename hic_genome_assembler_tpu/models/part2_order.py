@@ -247,39 +247,70 @@ def scan_ordering(
     orders_w = perms.order_batch(w)
     orients_w = perms.orient_batch(w)
     R = len(orients_w)
+    B_w = len(orders_w) * R  # candidates per window position
+    # Speculative batching: the reference evaluates window positions
+    # sequentially, and every position up to the FIRST improvement sees
+    # the sweep's current ordering unchanged — so a block of upcoming
+    # windows can be scored in ONE device dispatch and the results of
+    # positions before the first improvement are exactly the
+    # reference's.  On an improvement at window k, positions > k are
+    # discarded and re-speculated from the adopted ordering.  Decisions
+    # are identical to the serial sweep; only dispatch count changes
+    # (converged sweeps cost ceil(windows / depth) round trips).
+    spec_depth = max(1, min(16, S - w + 1))
+
+    def _window_candidates(i0: int, n_win: int) -> Tuple[np.ndarray, np.ndarray]:
+        base_o = np.asarray(order_ids, dtype=np.int32)
+        base_f = np.asarray(orient_flags, dtype=np.int32)
+        cand_orders = np.tile(base_o, (spec_depth * B_w, 1))
+        cand_orients = np.tile(base_f, (spec_depth * B_w, 1))
+        for k in range(n_win):
+            i = i0 + k
+            blk = slice(k * B_w, (k + 1) * B_w)
+            o_blk = np.tile(base_o[None, i : i + w], (B_w, 1))
+            for oi, o in enumerate(orders_w):
+                o_blk[oi * R : (oi + 1) * R] = [order_ids[i + kk] for kk in o]
+            cand_orders[blk, i : i + w] = o_blk
+            cand_orients[blk, i : i + w] = np.tile(orients_w, (len(orders_w), 1))
+        return cand_orders, cand_orients
+
     round_number = 0
     while True:
         improved = False
         print("Working on round " + str(round_number + 1) + " of final step...")
-        for i in range(0, S - w + 1):
-            base = np.asarray(order_ids, dtype=np.int32)
-            cand_orders = np.tile(base, (len(orders_w), 1))
-            for oi, o in enumerate(orders_w):
-                cand_orders[oi, i : i + w] = [order_ids[i + k] for k in o]
-            flags = np.asarray(orient_flags, dtype=np.int32)
-            cand_orients = np.tile(flags, (R, 1))
-            cand_orients[:, i : i + w] = orients_w
-            costs = sub.score_batch(cand_orders, cand_orients)
-            # trigger exact re-scoring whenever the fast-precision max is
-            # even close to the incumbent (f32 device costs may straddle it)
+        i = 0
+        while i <= S - w:
+            n_win = min(spec_depth, S - w + 1 - i)
+            cand_orders, cand_orients = _window_candidates(i, n_win)
+            costs_all = sub.score_pairs(cand_orders, cand_orients)
             trigger = best_cost - 1e-5 * max(abs(best_cost), 1.0)
-            if not sub.degenerate and costs.max() > trigger:
+            advanced = n_win
+            for k in range(n_win):
+                costs = costs_all[k * B_w : (k + 1) * B_w]
+                if sub.degenerate or costs.max() <= trigger:
+                    continue
+                iw = i + k
 
-                def _rescore(c: int) -> float:
+                def _rescore(c: int, iw=iw) -> float:
                     o, r = orders_w[c // R], orients_w[c % R]
                     full_o = list(order_ids)
                     full_r = list(orient_flags)
-                    full_o[i : i + w] = [order_ids[i + k] for k in o]
-                    full_r[i : i + w] = list(map(int, r))
+                    full_o[iw : iw + w] = [order_ids[iw + kk] for kk in o]
+                    full_r[iw : iw + w] = list(map(int, r))
                     return sub.score_host(full_o, full_r)
 
                 winner, exact = cost_ops.argmax_reference_ties(costs, rescore=_rescore)
                 if exact > best_cost:
                     best_cost = exact
                     o, r = orders_w[winner // R], orients_w[winner % R]
-                    order_ids[i : i + w] = [order_ids[i + k] for k in o]
-                    orient_flags[i : i + w] = list(map(int, r))
+                    order_ids[iw : iw + w] = [order_ids[iw + kk] for kk in o]
+                    orient_flags[iw : iw + w] = list(map(int, r))
                     improved = True
+                    # results past this window were computed against the
+                    # pre-adoption ordering — re-speculate from iw + 1
+                    advanced = k + 1
+                    break
+            i += advanced
         round_number += 1
         if not improved:
             break
