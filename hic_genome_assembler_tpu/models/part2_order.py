@@ -149,6 +149,7 @@ def brute_force_best(
     winner, best = cost_ops.argmax_reference_ties_sparse(
         cand_idx,
         rescore=lambda i: sub.score_host(orders[i // R], orients[i % R]),
+        fast_vals=_vals,
     )
     return list(map(int, orders[winner // R])), list(map(int, orients[winner % R])), best
 
@@ -171,8 +172,8 @@ def order_remainder_scaffolds(
     incoming scaffold's current orientation (checkAllScores'
     flip-then-pop, orderGenome.py:344-365).
     """
-    W = chrom.S          # fixed candidate width (global scaffold count)
-    B_max = 2 * (chrom.S + 1)
+    W = chrom.cand_width  # bucketed width: executables shared across chroms
+    B_max = ((2 * (chrom.S + 1) + 15) // 16) * 16  # 2(S+1) rounded up to 16
     pad = chrom.pad_id
     best_cost = 0.0
     while True:
@@ -257,11 +258,15 @@ def scan_ordering(
     # discarded and re-speculated from the adopted ordering.  Decisions
     # are identical to the serial sweep; only dispatch count changes
     # (converged sweeps cost ceil(windows / depth) round trips).
-    spec_depth = max(1, min(16, S - w + 1))
+    spec_depth = 16  # fixed batch shape -> one executable for all chroms
+
+    W = chrom.cand_width  # bucketed width: executables shared across chroms
 
     def _window_candidates(i0: int, n_win: int) -> Tuple[np.ndarray, np.ndarray]:
-        base_o = np.asarray(order_ids, dtype=np.int32)
-        base_f = np.asarray(orient_flags, dtype=np.int32)
+        base_o = np.full(W, chrom.pad_id, dtype=np.int32)
+        base_o[:S] = order_ids
+        base_f = np.zeros(W, dtype=np.int32)
+        base_f[:S] = orient_flags
         cand_orders = np.tile(base_o, (spec_depth * B_w, 1))
         cand_orients = np.tile(base_f, (spec_depth * B_w, 1))
         for k in range(n_win):

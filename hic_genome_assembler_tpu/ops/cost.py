@@ -40,6 +40,10 @@ import numpy as np
 from hic_genome_assembler_tpu.ops import oracle
 
 
+def _round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
 def harmonic_weights(C: int, total: float) -> np.ndarray:
     """w[d] = (sum_{i=d}^{C-1} 1/i) / total for d in 1..C-1; w[0] = 0."""
     w = np.zeros(max(C, 1), dtype=np.float64)
@@ -503,15 +507,30 @@ class ChromosomeScorer:
         sub = np.asarray(sub_matrix, dtype=np.float64)
         self.sizes = np.asarray(sizes, dtype=np.int64)
         self.S = len(self.sizes)
-        self.Sp = self.S + 1  # one zero-size pad slot for fixed shapes
         self.C = int(self.sizes.sum())
         assert sub.shape == (self.C, self.C), (sub.shape, self.C)
         self._sub = sub
 
-        sid = np.repeat(np.arange(self.S), self.sizes).astype(np.int32)
-        loc = np.concatenate([np.arange(c) for c in self.sizes]).astype(np.int32)
+        # Shape bucketing: every jitted kernel's executable is keyed on
+        # (Sp, L, C) shapes, and a real genome has ~25 chromosomes with
+        # ~25 DISTINCT (scaffold count, bin count, largest scaffold)
+        # triples — unbucketed, each chromosome pays its own 10-40s XLA
+        # compiles, dominating end-to-end wall.  Rounding the id-space
+        # stride, offset width and table width up to coarse buckets
+        # (pad ids have size 0, pad bins are zero rows) collapses them
+        # into a handful of executables; scores are unchanged.
         cmax = int(self.sizes.max())
-        self.cmax, self.L = cmax, 2 * cmax - 1
+        # smallest bucket = 9 (covers every brute-force-only chromosome,
+        # S <= 8); larger strides round to multiples of 8
+        self.Sp = 9 if self.S + 1 <= 9 else _round_up(self.S + 1, 8)
+        self.cmax = _round_up(cmax, 64)
+        self.L = 2 * self.cmax - 1
+        self.C_pad = _round_up(self.C, 256)     # table/delta width
+
+        sid = np.full(self.C_pad, self.S, dtype=np.int32)  # pad bins -> slot S
+        sid[: self.C] = np.repeat(np.arange(self.S), self.sizes)
+        loc = np.zeros(self.C_pad, dtype=np.int32)
+        loc[: self.C] = np.concatenate([np.arange(c) for c in self.sizes])
         self._sid = sid
 
         # Host-side f64 exact bookkeeping (all O(C^2), computed once):
@@ -532,51 +551,52 @@ class ChromosomeScorer:
         # matmuls with the scaffold one-hot (O(C^2 S), milliseconds)
         # instead of strided reduceat passes over the full matrix.
         G = np.zeros((self.C, self.S), dtype=np.float64)
-        G[np.arange(self.C), sid] = 1.0
+        G[np.arange(self.C), sid[: self.C]] = 1.0
         self.cross_total = G.T @ (sub @ G)
 
         if device_sub is None:
             device_sub = jnp.asarray(sub.astype(dtype))
-        k = _SKEW_CHUNK_ELEMS // max(cmax * self.S * cmax, 1)
+        pad_c = self.C_pad - self.C
+        sizes_padded = np.zeros(self.Sp, dtype=np.int32)
+        sizes_padded[: self.S] = self.sizes
+        k = _SKEW_CHUNK_ELEMS // max(self.cmax * self.Sp * self.cmax, 1)
         if k >= 1:
-            k = min(k, self.S)
-            m_pad = jnp.pad(device_sub.astype(dtype), ((0, 1), (0, 1)))
-            blk_idx = np.full((self.S, cmax), self.C, dtype=np.int32)
+            k = min(k, self.Sp)
+            m_pad = jnp.pad(device_sub.astype(dtype), ((0, pad_c + 1), (0, pad_c + 1)))
+            blk_idx = np.full((self.Sp, self.cmax), self.C_pad, dtype=np.int32)
             for s, (o, c) in enumerate(zip(offsets, self.sizes)):
                 blk_idx[s, :c] = np.arange(o, o + c)
             blk_d = jnp.asarray(blk_idx)
-            sizes_d32 = jnp.asarray(self.sizes.astype(np.int32))
+            sizes_d32 = jnp.asarray(sizes_padded)
             chunks = []
-            for start in range(0, self.S - self.S % k, k):
+            for start in range(0, self.Sp - self.Sp % k, k):
                 chunks.append(
-                    _skew_profile_chunk(m_pad, blk_d, sizes_d32, start, self.S, k)
+                    _skew_profile_chunk(m_pad, blk_d, sizes_d32, start, self.Sp, k)
                 )
-            rem = self.S % k
+            rem = self.Sp % k
             if rem:
                 chunks.append(
                     _skew_profile_chunk(
-                        m_pad, blk_d, sizes_d32, self.S - rem, self.S, rem
+                        m_pad, blk_d, sizes_d32, self.Sp - rem, self.Sp, rem
                     )
                 )
             h4 = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
-            h4 = jnp.pad(
-                h4, ((0, self.Sp - self.S), (0, self.Sp - self.S), (0, 0), (0, 0))
-            )
             self._h = h4.reshape(self.Sp * self.Sp * 4, self.L)
         else:
-            # degenerate scale (cmax^2 * S alone exceeds the transient
+            # degenerate scale (cmax^2 * Sp alone exceeds the transient
             # budget): scatter-add fallback
+            sub_dev = device_sub.astype(dtype)
+            if pad_c:
+                sub_dev = jnp.pad(sub_dev, ((0, pad_c), (0, pad_c)))
             self._h = _build_pair_profiles(
-                device_sub.astype(dtype),
+                sub_dev,
                 jnp.asarray(sid),
                 jnp.asarray(loc),
-                jnp.asarray(self.sizes.astype(np.int32)),
+                jnp.asarray(sizes_padded),
                 self.Sp,
                 self.L,
-                cmax,
+                self.cmax,
             )
-        sizes_padded = np.zeros(self.Sp, dtype=np.int32)
-        sizes_padded[: self.S] = self.sizes
         self._sizes_d = jnp.asarray(sizes_padded)
 
     @property
@@ -584,6 +604,13 @@ class ChromosomeScorer:
         """Scaffold id usable as padding in fixed-width candidate
         arrays; contributes zero size and zero cost."""
         return self.S
+
+    @property
+    def cand_width(self) -> int:
+        """Bucketed candidate width for fixed-shape search batches
+        (pad columns carry pad_id); keeps greedy/sliding-window
+        executables shared across chromosomes."""
+        return _round_up(max(self.S, 1), 8)
 
     def subset(self, include: Sequence[int]) -> "SubsetScorer":
         """Scorer for candidates drawn from ``include`` (global ids)."""
@@ -608,7 +635,7 @@ class SubsetScorer:
         self._mesh = parent._mesh
         self.sizes = parent.sizes
         self.S = parent.S
-        self.C = parent.C  # delta/table width (full chromosome)
+        self.C = parent.C_pad  # delta/table width (bucketed, >= real C)
         self.C_sub = int(parent.sizes[include].sum())
         inc = np.asarray(include)
         iu = np.triu_indices(len(inc), k=1)
@@ -617,11 +644,12 @@ class SubsetScorer:
         )
         self.degenerate = self.total == 0.0
         self.w = harmonic_weights(self.C_sub, self.total)
-        self.c0 = (
-            float(parent.intra_profile[inc].sum(axis=0) @ self.w[: parent.cmax])
-            if not self.degenerate
-            else 0.0
-        )
+        if not self.degenerate:
+            profile = parent.intra_profile[inc].sum(axis=0)
+            wlen = min(len(profile), len(self.w))
+            self.c0 = float(profile[:wlen] @ self.w[:wlen])
+        else:
+            self.c0 = 0.0
         wpad = np.zeros(self.C + 1, dtype=np.float64)
         wpad[1 : self.C_sub] = self.w[1 : self.C_sub]
         F = _profiles_to_table(
@@ -854,13 +882,34 @@ def BlockScorer(
 # ---------------------------------------------------------------------------
 
 
+# Fast-precision safety margin: a candidate whose device (f32) score is
+# more than this RELATIVE margin below the device max cannot be the f64
+# winner (f32 relative error for these kernels is ~1e-5; 1e-3 is a 100x
+# safety factor).  Each excluded candidate saves an O(C^2) host f64
+# re-score (~5-10ms at C~2000), which otherwise dominates the greedy
+# stage's wall-clock.
+_F32_MARGIN = 1e-3
+
+
+def _prefilter_margin(vals: np.ndarray) -> np.ndarray:
+    best = float(vals.max())
+    return vals >= best - _F32_MARGIN * max(abs(best), 1.0)
+
+
 def argmax_reference_ties_sparse(
     cand_indices: np.ndarray,
     rescore: Callable[[int], float],
     rel_tol: float = 1e-12,
+    fast_vals: Optional[np.ndarray] = None,
 ) -> Tuple[int, float]:
     """Reference tie rule over a sparse candidate set (device top-k):
-    f64-rescore every candidate, earliest index among ties wins."""
+    f64-rescore the plausible candidates, earliest index among ties
+    wins.  ``fast_vals`` (parallel to ``cand_indices``) enables the
+    f32-margin prefilter."""
+    cand_indices = np.asarray(cand_indices)
+    if fast_vals is not None and len(cand_indices) > 1:
+        keep = _prefilter_margin(np.asarray(fast_vals))
+        cand_indices = cand_indices[keep]
     exact = {int(i): float(rescore(int(i))) for i in cand_indices}
     best = max(exact.values())
     tol = rel_tol * max(abs(best), 1.0)
@@ -892,6 +941,8 @@ def argmax_reference_ties(
         return int(ties[0]), best
     k = min(k, n)
     top = np.argpartition(-costs, k - 1)[:k]
+    keep = _prefilter_margin(costs[top])
+    top = top[keep]
     exact = {int(i): float(rescore(int(i))) for i in top}
     best = max(exact.values())
     tol = rel_tol * max(abs(best), 1.0)

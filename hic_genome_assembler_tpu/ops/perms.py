@@ -22,6 +22,7 @@ reference's nested loop (orderGenome.py:457-458).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Iterator, List, Sequence, Tuple
 
@@ -77,16 +78,38 @@ def plus_minus_perms(n: int) -> List[List[str]]:
     return result
 
 
-def order_batch(n: int) -> np.ndarray:
-    """Reverse-deduplicated index permutations as int32[B_ord, n]."""
+@functools.lru_cache(maxsize=16)
+def _order_batch_cached(n: int) -> np.ndarray:
     perms = remove_reverse_duplicates(permutations_swap_order(list(range(n))))
-    return np.asarray(perms, dtype=np.int32)
+    out = np.asarray(perms, dtype=np.int32)
+    out.setflags(write=False)
+    return out
+
+
+def order_batch(n: int) -> np.ndarray:
+    """Reverse-deduplicated index permutations as int32[B_ord, n].
+
+    Cached (read-only view): the enumeration is identical for every
+    chromosome, and the cached object's stable identity keeps the
+    combo-map device cache (ops.cost._combo_index) hitting.
+    """
+    return _order_batch_cached(n)
+
+
+@functools.lru_cache(maxsize=16)
+def _orient_batch_cached(n: int) -> np.ndarray:
+    signs = plus_minus_perms(n)
+    out = np.asarray(
+        [[0 if o == "+" else 1 for o in v] for v in signs], dtype=np.int32
+    )
+    out.setflags(write=False)
+    return out
 
 
 def orient_batch(n: int) -> np.ndarray:
-    """Orientation vectors as int32[B_orient, n]; 0 == '+', 1 == '-'."""
-    signs = plus_minus_perms(n)
-    return np.asarray([[0 if o == "+" else 1 for o in v] for v in signs], dtype=np.int32)
+    """Orientation vectors as int32[B_orient, n]; 0 == '+', 1 == '-'.
+    Cached (read-only view)."""
+    return _orient_batch_cached(n)
 
 
 def pair_positions(n: int) -> Tuple[np.ndarray, np.ndarray]:

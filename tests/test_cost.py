@@ -152,12 +152,13 @@ def test_pair_profile_build_matches_definition_oracle():
     for sizes in cases:
         sizes_arr = np.asarray(sizes, dtype=np.int64)
         S, C = len(sizes), int(sizes_arr.sum())
-        cmax = int(sizes_arr.max())
-        L = 2 * cmax - 1
-        Sp = S + 1
-        shift = cmax - 1
         m = rng.random((C, C))
         m = (m + m.T).astype(np.float64)
+        scorer = cost.ChromosomeScorer(m, sizes, dtype=np.float64)
+        # the scorer buckets (Sp, L, shift) for executable sharing; the
+        # oracle uses its reported values
+        Sp, L = scorer.Sp, scorer.L
+        shift = scorer.cmax - 1
         offsets = np.concatenate([[0], np.cumsum(sizes_arr)[:-1]])
         want = np.zeros((4 * Sp * Sp, L))
         for s in range(S):
@@ -177,7 +178,7 @@ def test_pair_profile_build_matches_definition_oracle():
                             )
                         ):
                             want[(s * Sp + t) * 4 + e, np.clip(mm, 0, L - 1)] += v
-        got = np.asarray(cost.ChromosomeScorer(m, sizes, dtype=np.float64)._h)
+        got = np.asarray(scorer._h)
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
 
 
