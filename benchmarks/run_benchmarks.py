@@ -175,37 +175,69 @@ def config2(n: int = 16384) -> None:
     jax.block_until_ready(m_dev)
     t_up = time.time() - t_up
 
-    def timed(fn, variants, reps=3):
-        """Per-call wall with every output CONSUMED on host.
+    import functools
 
-        The TPU runtime here defers/elides work whose results are never
-        read — block_until_ready alone reports impossible times (e.g.
-        28 TB/s "effective bandwidth") — so each rep's output feeds a
-        scalar that is pulled back to host.
+    def timed_chain(body, carry0, iters=16):
+        """True per-kernel device time via a device-resident chain.
+
+        Behind the tunneled TPU a host sync costs ~150 ms, so per-call
+        timing with host consumption measures the network, not the chip.
+        Run the op inside one jitted fori_loop (each iteration's output
+        feeds the next or an accumulated scalar, so nothing is elided —
+        this runtime defers work whose results are never read), pull ONE
+        scalar back, and difference two chain lengths so the single sync
+        latency cancels exactly.
         """
-        out = fn(variants[0])
-        float(out.ravel()[0])  # warm + force
-        start = time.time()
-        acc = out.ravel()[0] * 0
-        for i in range(reps):
-            acc = acc + fn(variants[i % len(variants)]).ravel()[0]
-        float(acc)
-        return (time.time() - start) / reps, fn(variants[0])
 
-    m_vars = [m_dev, m_dev + np.float32(1e-3), m_dev + np.float32(2e-3)]
-    t_dist, dist = timed(dev.to_distance, m_vars)
-    dist_vars = [dev.to_distance(v) for v in m_vars]
-    t_rank, rank = timed(dev.rank_matrix_desc, dist_vars)
-    rank_vars = [dev.rank_matrix_desc(v) for v in dist_vars]
-    t_counts, _ = timed(
-        lambda r: dev.growing_window_counts(r, jnp.int32(7)), rank_vars
+        @functools.partial(jax.jit, static_argnums=1)
+        def chain(carry, k):
+            out = jax.lax.fori_loop(0, k, body, carry)
+            return jnp.asarray(jax.tree_util.tree_leaves(out)[-1]).ravel()[0]
+
+        for k in (1, iters + 1):
+            float(chain(carry0, k))  # compile both lengths
+        best = None
+        for _ in range(2):
+            t1 = time.time()
+            float(chain(carry0, 1))
+            t1 = time.time() - t1
+            tk = time.time()
+            float(chain(carry0, iters + 1))
+            tk = time.time() - tk
+            d = (tk - t1) / iters
+            best = d if best is None else min(best, d)
+        return max(best, 1e-9)
+
+    t_dist = timed_chain(lambda i, a: dev.to_distance(a), m_dev)
+    dist = jax.jit(dev.to_distance)(m_dev)
+    t_rank = timed_chain(
+        lambda i, a: dev.rank_matrix_desc(a).astype(jnp.float32), dist
+    )
+    rank = jax.jit(dev.rank_matrix_desc)(dist)
+
+    def counts_body(fn):
+        # vary the WINDOW START with the loop index (not the 1 GiB rank
+        # input, which would add an unfused 1 GiB materialization per
+        # iteration) so XLA cannot hoist the count kernel or its iota
+        # masks out of the chain
+        def body(i, carry):
+            r, acc = carry
+            c = fn(r, jnp.int32(7) + (i & 1))
+            return (r, acc + c[0].astype(jnp.float32))
+
+        return body
+
+    t_counts = timed_chain(
+        counts_body(dev.growing_window_counts), (rank, jnp.float32(0.0))
     )
     gbps = (n * n * 4 * 2) / t_dist / 1e9
     t_counts_pl = None
     if devices[0].platform not in ("cpu",):
         from hic_genome_assembler_tpu.ops import pallas_kernels as pk
 
-        t_counts_pl, _ = timed(lambda r: pk.growing_window_counts(r, 7), rank_vars)
+        t_counts_pl = timed_chain(
+            counts_body(pk.growing_window_counts), (rank, jnp.float32(0.0))
+        )
 
     metrics = {
         "n": n,
@@ -222,7 +254,7 @@ def config2(n: int = 16384) -> None:
     if len(devices) > 1:
         mesh = pm.make_mesh()
         m_sh, _ = pm.put_matrix_padded(mesh, m)
-        t_dist_sh, _ = timed(dev.to_distance, [m_sh, m_sh + np.float32(1e-3)])
+        t_dist_sh = timed_chain(lambda i, a: dev.to_distance(a), m_sh)
         metrics["sharded_distance_ms"] = round(t_dist_sh * 1e3, 2)
         metrics["mesh_shape"] = dict(mesh.shape)
     _emit(2, "part1 dense stages @ 16K x 16K", metrics)

@@ -63,8 +63,9 @@ class RankCounts:
     """Device-resident rank matrix + count kernels.
 
     On TPU the counts run through the fused Pallas scan
-    (ops.pallas_kernels, ~34x the XLA formulation at 16K x 16K); on the
-    CPU test platform the XLA kernels are used (Mosaic targets TPU).
+    (ops.pallas_kernels — streams the rank matrix at HBM speed-of-light
+    and batches K windows per dispatch in fixed_window_counts_many); on
+    the CPU test platform the XLA kernels are used (Mosaic targets TPU).
     Both produce identical integer counts (tests/test_pallas.py).
     """
 

@@ -8,12 +8,17 @@ start) fall inside [start, cut] (fixed window, :622-636).  At 1.6 Gb
 scale the rank matrix is 16K x 16K int32 = 1 GiB, so the scan is pure
 HBM bandwidth.
 
-The XLA formulation (ops.matrix.growing_window_counts) materializes
-boolean mask intermediates and reaches ~90 GB/s.  This Pallas kernel
-fuses mask construction, combination and the row reduction in VMEM —
-one pass over the matrix tile grid, int32 accumulation in an output
-block revisited across the column grid — and is memory-bound at the
-tile-streaming rate.
+This kernel fuses mask construction, combination and the row reduction
+in VMEM — one pass over the matrix tile grid, int32 accumulation in an
+output block revisited across the column grid — and streams the rank
+matrix at HBM speed-of-light (~750 GB/s measured on v5e at 16K x 16K,
+benchmarks/run_benchmarks.py config 2; HBM peak 819 GB/s).  XLA's
+fusion of ops.matrix.growing_window_counts reaches the same rate in
+steady state, so the Pallas form's value is (a) guaranteed single-kernel
+shape with no 256 MiB boolean intermediates at any tile size and (b) the
+batched ``fixed_window_counts_many`` used by the cut-noise filter, where
+K scans ride one dispatch (each host round trip over the tunneled link
+costs ~150 ms, dwarfing the 1.4 ms scan itself).
 
 Numerical contract: identical counts to the XLA/numpy formulation
 (integer compares and sums — no floating point).  Equality is asserted
@@ -31,8 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# tuned on v5e at 16K x 16K: (512, 2048) streams at ~200 GB/s, 34x the
-# fused-XLA formulation (see benchmarks/run_benchmarks.py config 2)
+# tuned on v5e at 16K x 16K: (512, 2048) streams the 1 GiB rank matrix
+# at ~750 GB/s (see benchmarks/run_benchmarks.py config 2)
 _TILE_R = 512
 _TILE_C = 2048
 
@@ -151,7 +156,8 @@ def growing_window_counts(
     """
     n = rank_mat.shape[0]
     padded = _pad_rank(rank_mat.astype(jnp.int32))
-    params = jnp.asarray([np.int32(start), 0, 1], dtype=jnp.int32)
+    start = jnp.asarray(start, dtype=jnp.int32)
+    params = jnp.stack([start, jnp.int32(0), jnp.int32(1)])
     return _counts_call(padded, params, interpret=interpret)[:n]
 
 
@@ -162,5 +168,7 @@ def fixed_window_counts(
     fused version of ops.matrix.fixed_window_counts."""
     n = rank_mat.shape[0]
     padded = _pad_rank(rank_mat.astype(jnp.int32))
-    params = jnp.asarray([np.int32(start), np.int32(cut), 0], dtype=jnp.int32)
+    start = jnp.asarray(start, dtype=jnp.int32)
+    cut = jnp.asarray(cut, dtype=jnp.int32)
+    params = jnp.stack([start, cut, jnp.int32(0)])
     return _counts_call(padded, params, interpret=interpret)[:n]
