@@ -473,15 +473,47 @@ def config4(n_pairs: int = 2_000_000, workdir: str = "/tmp/hic_bench_c4") -> Non
     start = time.time()
     kept = part3_orient.read_valid_pair_file(path, keys)
     wall = time.time() - start
+
+    # COO matrix ingestion: native multithreaded parser vs pandas C parser
+    coo_path = os.path.join(workdir, "ingest.matrix")
+    n_trip = 8_000_000
+    if not os.path.exists(coo_path):
+        i1 = rng.integers(0, 16384, n_trip)
+        i2 = rng.integers(0, 16384, n_trip)
+        vv = rng.random(n_trip) * 100
+        with open(coo_path, "w") as fh:
+            for a, b, v in zip(i1, i2, vv):
+                fh.write(f"{a}\t{b}\t{v:.8f}\n")
+    with open(coo_path, "rb") as fh:  # warm the page cache for BOTH parsers
+        while fh.read(1 << 24):
+            pass
+    coo_metrics = {}
+    if native_ok:
+        start = time.time()
+        arr = native.parse_coo(coo_path)
+        t_native = time.time() - start
+        coo_metrics["coo_native_Mlines_per_s"] = round(n_trip / t_native / 1e6, 1)
+        del arr
+    try:
+        import pandas as pd
+
+        start = time.time()
+        pd.read_csv(coo_path, sep="\t", header=None, dtype=np.float64, engine="c")
+        t_pd = time.time() - start
+        coo_metrics["coo_pandas_Mlines_per_s"] = round(n_trip / t_pd / 1e6, 1)
+    except ImportError:
+        pass
+
     _emit(
         4,
-        "part3 validPairs streaming",
+        "part3 validPairs streaming + COO ingestion",
         {
             "lines": n_pairs,
             "native_scanner": bool(native_ok),
             "wall_s": round(wall, 3),
             "lines_per_s": round(n_pairs / wall, 0),
             "kept_pairs": sum(len(v) for v in kept.values()),
+            **coo_metrics,
         },
     )
 

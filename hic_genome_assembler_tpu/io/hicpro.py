@@ -73,9 +73,19 @@ def initiate_loci(
 def read_coo_matrix(matrix_file: str) -> np.ndarray:
     """Read the raw ``iced.matrix`` COO triplets into an (nnz, 3) array.
 
-    Uses pandas' C parser (~10x numpy.loadtxt) — the matrix file holds up
-    to ~10^8 triplets at 100 Kb resolution on a 1.6 Gb genome.
+    Fast path: the native multithreaded mmap parser
+    (native/coo_parser.cpp via io.native) — the matrix file holds up to
+    ~10^8 triplets at 100 Kb resolution on a 1.6 Gb genome.  Falls back
+    to pandas' C parser (~10x numpy.loadtxt), then numpy.loadtxt.
     """
+    try:
+        from hic_genome_assembler_tpu.io import native
+
+        arr = native.parse_coo(matrix_file)
+        if arr is not None:
+            return arr
+    except Exception:
+        pass
     try:
         import pandas as pd
 

@@ -17,7 +17,10 @@ from typing import Dict, Optional, Tuple
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libhicio.so")
-_SOURCES = [os.path.join(_NATIVE_DIR, "validpairs_scanner.cpp")]
+_SOURCES = [
+    os.path.join(_NATIVE_DIR, "validpairs_scanner.cpp"),
+    os.path.join(_NATIVE_DIR, "coo_parser.cpp"),
+]
 
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
@@ -26,7 +29,7 @@ _build_failed = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO_PATH, *_SOURCES],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread", "-o", _SO_PATH, *_SOURCES],
             check=True,
             capture_output=True,
         )
@@ -58,12 +61,57 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.free_buffer.argtypes = [ctypes.POINTER(ctypes.c_char)]
+    lib.coo_max_rows.restype = ctypes.c_int64
+    lib.coo_max_rows.argtypes = [ctypes.c_char_p]
+    lib.parse_coo_into.restype = ctypes.c_int
+    lib.parse_coo_into.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def parse_coo(matrix_file: str):
+    """Native multithreaded parse of an iced.matrix triplet file.
+
+    Returns an (nnz, 3) float64 array in FILE ORDER (id1, id2, value) —
+    order preservation keeps build_adjacency_matrix's last-write-wins
+    duplicate semantics.  The parser writes straight into the returned
+    numpy buffer (two-call protocol: newline count sizes the
+    allocation, then threads fill disjoint regions — no intermediate
+    copies).  Returns None when the native path is unavailable or the
+    file is malformed (caller falls back to pandas).
+    """
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    path = matrix_file.encode()
+    max_rows = lib.coo_max_rows(path)
+    if max_rows < 0:
+        return None
+    arr = np.empty((max_rows, 3), dtype=np.float64)
+    out_rows = ctypes.c_int64()
+    rc = lib.parse_coo_into(
+        path,
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        max_rows,
+        ctypes.byref(out_rows),
+    )
+    if rc != 0:
+        return None
+    nnz = out_rows.value
+    if nnz == max_rows:
+        return arr
+    return arr[:nnz].copy()  # blank lines: shrink (rare)
 
 
 def scan_validpairs(

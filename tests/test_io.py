@@ -112,3 +112,38 @@ def test_fasta_roundtrip_and_revcomp(tmp_path):
         pass
     else:
         raise AssertionError("non-ACGTN must raise KeyError like the reference")
+
+
+def test_native_coo_parser_matches_pandas(genome, hicpro_dir, tmp_path):
+    """native/coo_parser.cpp must return the identical (nnz, 3) f64
+    array, in file order, as the pandas fallback."""
+    from hic_genome_assembler_tpu.io import hicpro, native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    got = native.parse_coo(hicpro_dir["matrix"])
+    import pandas as pd
+
+    want = pd.read_csv(
+        hicpro_dir["matrix"], sep="\t", header=None, dtype=np.float64, engine="c"
+    ).to_numpy()
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+    # scientific notation, blank lines, \r\n endings
+    odd = tmp_path / "odd.matrix"
+    odd.write_text("0\t1\t1.5e-3\r\n\n2\t3\t4\n")
+    got = native.parse_coo(str(odd))
+    np.testing.assert_array_equal(got, [[0, 1, 1.5e-3], [2, 3, 4]])
+
+    # malformed file -> None (caller falls back)
+    bad = tmp_path / "bad.matrix"
+    bad.write_text("0\t1\tx\n")
+    assert native.parse_coo(str(bad)) is None
+
+    # empty file
+    empty = tmp_path / "empty.matrix"
+    empty.write_text("")
+    assert native.parse_coo(str(empty)).shape == (0, 3)
