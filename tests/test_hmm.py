@@ -59,3 +59,34 @@ def test_hmm_cut_strategy_on_blocks():
         m, None, min_size=5, modularity=0.05, convergence_rounds=5, look_ahead=False
     )
     assert any(abs(c - 35) <= 2 for c in cuts), cuts
+
+
+def test_part1_pipeline_hmm_branch_recovers_groups(tmp_path):
+    """End-to-end part1 with the HMM cut strategy (run_pipeline's
+    hmm=True branch, scaffoldToChromosomes.py:1138-1141): the planted
+    two-chromosome fixture is recovered as in the hyperGeom e2e test."""
+    from hic_genome_assembler_tpu.io import filebus
+    from hic_genome_assembler_tpu.models import part1_cluster
+    from hic_genome_assembler_tpu.utils import fixtures
+
+    g = fixtures.make_genome(
+        chrom_scaffold_bins=((14, 12, 10, 8), (12, 11, 9)),
+        seed=5,
+        noise=0.004,
+        cross_noise_frac=0.001,
+    )
+    paths = fixtures.write_hicpro_files(g, str(tmp_path / "hicpro"))
+    out = {k: str(tmp_path / f"{k}.txt") for k in
+           ("dendro", "bins", "assess", "groups")}
+    part1_cluster.run_pipeline(
+        paths["bed"], paths["bias"], paths["matrix"], paths["sizes"],
+        out["dendro"], "", "",
+        out["bins"], out["assess"], out["groups"],
+        hyper_geom=False, hmm=True, min_size=5, modularity=0,
+        louvain_rounds=3, psig=0.05, convergence_rounds=5, look_ahead=0.5,
+        resolution=g.resolution,
+    )
+    groups = filebus.read_chroms_from_file(out["groups"])
+    got = sorted(sorted({name for _b, name in grp}) for grp in groups)
+    want = sorted(sorted(names) for names in g.true_groups().values())
+    assert got == want, (got, want)
