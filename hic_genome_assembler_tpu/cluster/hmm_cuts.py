@@ -145,7 +145,12 @@ def identify_chromosome_groups_hmm(
         )
         cut_indices.pop(-1)
         last = cut_indices[-1] if cut_indices else 0
-        if (len(adj) - last) >= (5 * (len(adj[0]) * modularity)):
+        # The reference computes ``5 * (len(adjacencyMatrix[0]) * modularity)``
+        # on a numpy.asmatrix, where ``matrix[0]`` is a 1xN matrix of len 1
+        # (scaffoldToChromosomes.py:881,930) — so the guard is effectively
+        # ``remaining >= 5 * modularity`` (fires for any nonempty remainder),
+        # NOT 5*N*modularity.  Faithfully reproduced.
+        if (len(adj) - last) >= (5 * (1 * modularity)):
             print(
                 "- convergenceRounds reduced from {} --> {}".format(
                     convergence_rounds, convergence_rounds - 1

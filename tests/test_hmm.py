@@ -63,17 +63,33 @@ def test_hmm_cut_strategy_on_blocks():
 
 def test_part1_pipeline_hmm_branch_recovers_groups(tmp_path):
     """End-to-end part1 with the HMM cut strategy (run_pipeline's
-    hmm=True branch, scaffoldToChromosomes.py:1138-1141): the planted
-    two-chromosome fixture is recovered as in the hyperGeom e2e test."""
+    hmm=True branch, scaffoldToChromosomes.py:1138-1141).
+
+    Fixture design follows the HMM mode's operating assumptions (shared
+    with the reference algorithm — proven line-identical by the golden
+    parity test in test_reference_parity.py):
+
+    * within-chromosome contact is flat (decay_alpha=0).  With distance
+      decay, rows of ONE chromosome are genuinely bimodal over the
+      look-ahead window, so ANY faithful 2-state HMM cuts inside it —
+      the reference does this too; its default pipeline relies on the
+      modularity tail to absorb that, not the HMM;
+    * chromosome sizes (UPGMA orders them small->large via
+      count_sort='ascending') are chosen so that after the last true
+      boundary the remainder satisfies remaining/2 < minSize, hitting
+      the clean "NA" termination (scaffoldToChromosomes.py:777-779)
+      instead of the terminal-0 oscillation.
+    """
     from hic_genome_assembler_tpu.io import filebus
     from hic_genome_assembler_tpu.models import part1_cluster
     from hic_genome_assembler_tpu.utils import fixtures
 
     g = fixtures.make_genome(
-        chrom_scaffold_bins=((14, 12, 10, 8), (12, 11, 9)),
+        chrom_scaffold_bins=((7, 6, 4, 3), (6, 5, 5), (4, 4, 2, 2)),
         seed=5,
         noise=0.004,
         cross_noise_frac=0.001,
+        decay_alpha=0.0,
     )
     paths = fixtures.write_hicpro_files(g, str(tmp_path / "hicpro"))
     out = {k: str(tmp_path / f"{k}.txt") for k in
@@ -82,7 +98,7 @@ def test_part1_pipeline_hmm_branch_recovers_groups(tmp_path):
         paths["bed"], paths["bias"], paths["matrix"], paths["sizes"],
         out["dendro"], "", "",
         out["bins"], out["assess"], out["groups"],
-        hyper_geom=False, hmm=True, min_size=5, modularity=0,
+        hyper_geom=False, hmm=True, min_size=11, modularity=0,
         louvain_rounds=3, psig=0.05, convergence_rounds=5, look_ahead=0.5,
         resolution=g.resolution,
     )

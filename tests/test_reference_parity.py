@@ -223,6 +223,88 @@ def test_part4_fasta_byte_equal(ref, parity_dirs, part3_outputs):
                 "part4 assembled.fasta (north-star byte equality)")
 
 
+class _ShimGaussianHMM:
+    """hmmlearn.hmm.GaussianHMM stand-in backed by this framework's
+    GaussianHMM2, injected into the REFERENCE so both sides run the
+    exact same deterministic EM/Viterbi — isolating the outer-loop /
+    boundary logic (scaffoldToChromosomes.py:730-942) for comparison.
+
+    Mirrors the reference's usage exactly: constructed per round with
+    init_params="cm", params="cmt"; ``startmat_`` assigned (the typo —
+    startprob_ stays uniform); ``transmat_`` assigned pre-fit as the
+    initial transition matrix (re-estimated during fit)."""
+
+    def __init__(self, n_components=2, covariance_type="diag",
+                 n_iter=1000, init_params="cm", params="cmt"):
+        assert n_components == 2 and covariance_type == "diag"
+        self._n_iter = n_iter
+        self.transmat_ = ((0.9, 0.1), (1e-4, 0.9999))
+        self._inner = None
+
+    def fit(self, X):
+        import numpy as np
+
+        from hic_genome_assembler_tpu.ops.gaussian_hmm import GaussianHMM2
+
+        self._inner = GaussianHMM2(
+            n_iter=self._n_iter, seed=0,
+            transmat=np.asarray(self.transmat_, dtype=np.float64),
+        ).fit(np.asarray(X, dtype=np.float64))
+        self.transmat_ = self._inner.transmat_
+        return self
+
+    def predict(self, X):
+        import numpy as np
+
+        return self._inner.predict(np.asarray(X, dtype=np.float64))
+
+
+def test_part1_hmm_branch_files_byte_equal(ref, tmp_path_factory):
+    """Golden parity for the HMM cut branch (hmm=True,
+    scaffoldToChromosomes.py:1138-1141 + 730-942): both sides run the
+    same deterministic Gaussian HMM, so any divergence in the iterative
+    boundary search, look-ahead windowing, convergence accounting,
+    NA/terminal-cut handling, or file emission shows up as a byte diff."""
+    import types as _types
+
+    g = fixtures.make_genome(
+        chrom_scaffold_bins=((7, 6, 4, 3), (6, 5, 5), (4, 4, 2, 2)),
+        seed=7,
+        noise=0.004,
+        cross_noise_frac=0.001,
+        decay_alpha=0.0,
+    )
+    root = tmp_path_factory.mktemp("hmmparity")
+    paths = fixtures.write_hicpro_files(g, str(root / "hicpro"))
+    theirs, ours = root / "theirs", root / "ours"
+    theirs.mkdir(), ours.mkdir()
+
+    saved_hmm = ref.part1.hmm
+    ref.part1.hmm = _types.SimpleNamespace(GaussianHMM=_ShimGaussianHMM)
+    try:
+        ref.part1.runPipeline(
+            paths["bed"], paths["bias"], paths["matrix"], paths["sizes"],
+            str(theirs / "dendro.txt"), "/dev/null", "/dev/null",
+            str(theirs / "bingroups.txt"), str(theirs / "assessment.txt"),
+            str(theirs / "chromgroups.txt"),
+            False, True, 11, 0, 3, 0.05, 5, 0.5, g.resolution,
+        )
+    finally:
+        ref.part1.hmm = saved_hmm
+    part1_cluster.run_pipeline(
+        paths["bed"], paths["bias"], paths["matrix"], paths["sizes"],
+        str(ours / "dendro.txt"), "", "",
+        str(ours / "bingroups.txt"), str(ours / "assessment.txt"),
+        str(ours / "chromgroups.txt"),
+        hyper_geom=False, hmm=True, min_size=11, modularity=0,
+        louvain_rounds=3, psig=0.05, convergence_rounds=5, look_ahead=0.5,
+        resolution=g.resolution,
+    )
+    for name in ("dendro.txt", "bingroups.txt", "assessment.txt",
+                 "chromgroups.txt"):
+        _same_bytes(theirs / name, ours / name, f"part1-hmm {name}")
+
+
 def test_full_chain_fasta_byte_equal(ref, parity_dirs, part1_outputs):
     """End-to-end: each side runs ITS OWN parts 1->2->4 chain from raw
     HiC-Pro inputs; the final FASTAs must still match byte-for-byte."""
