@@ -41,6 +41,16 @@ def build_parser() -> argparse.ArgumentParser:
         required=True,
         type=str,
     )
+    parser.add_argument(
+        "-mesh",
+        help=(
+            "Device-mesh policy: 'auto' (mesh over all visible devices "
+            "when more than one), 'off', or an explicit RxC (data, model) "
+            "shape like '4x2'. Defaults to $HIC_MESH, then 'auto'."
+        ),
+        default=None,
+        type=str,
+    )
     return parser
 
 
@@ -50,6 +60,12 @@ def main(argv=None) -> None:
     var = read_config_file_to_variables(args.config)
     if ensure_all_variables_are_set(var):
         sys.exit(1)
+
+    # Parallel substrate: jax.distributed bring-up + device mesh
+    # (env-or-flag; single-device 'auto' keeps the serial semantics).
+    from hic_genome_assembler_tpu.parallel import runtime
+
+    rt = runtime.bring_up(args.mesh)
 
     if args.part1:
         from hic_genome_assembler_tpu.models import part1_cluster as part1
@@ -62,6 +78,7 @@ def main(argv=None) -> None:
             var["hyperGeom"], var["hmm"], var["minSize"], var["modularity"],
             var["louvainRounds"], var["psig"], var["convergenceRounds"],
             var["lookAhead"], var["resolution"],
+            mesh=rt.mesh, matrix_mode=var["matrixMode"],
         )
     if args.part2:
         from hic_genome_assembler_tpu.models import part2_order as part2
@@ -72,6 +89,9 @@ def main(argv=None) -> None:
             var["savePlotsDirectory"], var["chromosomePlotSuffix"],
             var["fullGenomePlot"], var["fullGenomePlotTitle"], var["plotOrderFile"],
             var["nScaffolds"], var["scanScaffolds"], var["resolution"],
+            mesh=rt.mesh,
+            process_index=rt.process_index,
+            process_count=rt.process_count,
         )
     if args.part3:
         from hic_genome_assembler_tpu.models import part3_orient as part3

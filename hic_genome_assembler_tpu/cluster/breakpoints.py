@@ -67,14 +67,46 @@ class RankCounts:
     and batches K windows per dispatch in fixed_window_counts_many); on
     the CPU test platform the XLA kernels are used (Mosaic targets TPU).
     Both produce identical integer counts (tests/test_pallas.py).
+
+    ``mesh``: optional jax.sharding.Mesh — the rank matrix is then
+    placed 2-D sharded over (data, model) and the SAME count kernels run
+    partitioned by XLA: each device computes its row block's prefix
+    memberships and the per-row reduction psums along the model axis
+    (the SP row of SURVEY.md §2b, replacing the reference's O(N^2) scan
+    scaffoldToChromosomes.py:449-469).  Counts are integer and therefore
+    bit-identical sharded vs local (asserted in tests/test_multichip.py).
     """
 
-    def __init__(self, rank_mat: np.ndarray):
+    def __init__(self, rank_mat, mesh=None):
         self.n = rank_mat.shape[0]
-        self._dev = jnp.asarray(rank_mat.astype(np.int32))
+        self._mesh = mesh
         import jax
 
-        self._use_pallas = jax.devices()[0].platform not in ("cpu",)
+        if mesh is not None:
+            import math
+
+            from hic_genome_assembler_tpu.parallel import mesh as pm
+
+            host = np.asarray(rank_mat, dtype=np.int32)
+            # square pad to a multiple of lcm(data, model): the kernels'
+            # row/col masks assume a square matrix.  Zero padding is
+            # inert — pad COLUMNS are excluded by the prefix masks
+            # (j < i - start with i < n), pad ROWS produce garbage
+            # counts sliced off below.
+            t = pm.pad_to_multiple(
+                self.n,
+                math.lcm(mesh.shape[pm.DATA_AXIS], mesh.shape[pm.MODEL_AXIS]),
+            )
+            padded = np.zeros((t, t), dtype=np.int32)
+            padded[: self.n, : self.n] = host
+            self._dev = jax.device_put(padded, pm.matrix_sharding(mesh))
+            self._use_pallas = False  # Pallas kernels are single-device
+        else:
+            if isinstance(rank_mat, np.ndarray):
+                self._dev = jnp.asarray(rank_mat.astype(np.int32))
+            else:
+                self._dev = jnp.asarray(rank_mat, dtype=jnp.int32)
+            self._use_pallas = jax.devices()[0].platform not in ("cpu",)
         # (start,) / (start, cut) -> counts.  The cut-noise filter's
         # convergence rounds re-request the same windows many times and
         # each device round trip costs ~100ms over a thin host link.
@@ -93,6 +125,7 @@ class RankCounts:
             from hic_genome_assembler_tpu.ops import matrix as dev
 
             out = np.asarray(dev.growing_window_counts(self._dev, jnp.int32(start)))
+        out = out[: self.n]
         self._cache[key] = out
         return out
 
@@ -111,6 +144,7 @@ class RankCounts:
             out = np.asarray(
                 dev.fixed_window_counts(self._dev, jnp.int32(start), jnp.int32(cut))
             )
+        out = out[: self.n]
         self._cache[key] = out
         return out
 

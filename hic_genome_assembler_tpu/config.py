@@ -86,6 +86,12 @@ def default_variables() -> Dict[str, Any]:
             "nScaffolds": 6,
             "scanScaffolds": 5,
             "lengthCutoff": 500000,
+            # Framework extension (not in the reference template; has a
+            # non-empty default so existing configs stay valid):
+            # part-1 transform precision — "exact" = host f64 with
+            # reference-identical tie behavior, "device" = fast on-device
+            # transforms + rank argsort.
+            "matrixMode": "exact",
         }
     )
     return var
@@ -174,6 +180,14 @@ def read_config_file_to_variables(config_file: str) -> Dict[str, Any]:
                     print(
                         "WARNING... psig must be a floating point value... "
                         "keeping the default of .05"
+                    )
+            elif arg == "matrixMode":
+                if val in ("exact", "device"):
+                    var["matrixMode"] = val
+                else:
+                    print(
+                        'WARNING... matrixMode must be "exact" or "device"... '
+                        'keeping the default of "exact"'
                     )
             elif arg == "lookAhead":
                 try:

@@ -202,7 +202,21 @@ def run_pipeline(
     look_ahead,
     resolution: int,
     louvain_seed: int = 0,
+    mesh=None,
+    matrix_mode: str = "exact",
 ) -> None:
+    """``mesh``: optional jax.sharding.Mesh — the rank-count kernels then
+    run 2-D sharded over it (integer counts: bit-identical to local).
+
+    ``matrix_mode``:
+      exact  (default) similarity/rank/log transforms on host in f64
+             with reference-identical tie behavior — the parity mode;
+      device the O(N^2) transforms + rank argsort run on device in fast
+             precision (the distance transform feeding UPGMA stays host
+             f64 — linkage merges are decision-critical).  Counts still
+             return exact integers; p-value decisions can differ only
+             where fast-precision value ties reorder ranks.
+    """
     print("########################################")
     print("### Working on Part1 of the pipeline ###")
     total_start = time.time()
@@ -230,14 +244,28 @@ def run_pipeline(
     start = time.time()
     row_sums = np.asarray([b.rowSum for b in bin_list])
     if hyper_geom:
-        adj = oracle.to_similarity(adj, row_sums)
-        rank_mat = oracle.rank_matrix_desc(adj)
-        counts = breakpoints.RankCounts(rank_mat)
+        if matrix_mode == "device":
+            import jax.numpy as jnp
+
+            from hic_genome_assembler_tpu.ops import matrix as dev
+
+            adj_d = jnp.asarray(adj.astype(np.float32))
+            sim_d = dev.to_similarity(adj_d, jnp.asarray(row_sums, dtype=adj_d.dtype))
+            rank_mat = dev.rank_matrix_desc(sim_d)
+            counts = breakpoints.RankCounts(rank_mat, mesh=mesh)
+            adj_log_d = dev.log_transform(sim_d, log_base=10, plus_one=True)
+        else:
+            adj = oracle.to_similarity(adj, row_sums)
+            rank_mat = oracle.rank_matrix_desc(adj)
+            counts = breakpoints.RankCounts(rank_mat, mesh=mesh)
         initial = breakpoints.pre_process_all_matrix_breakpoints(
             counts, min_size=min_size, min_frac=modularity, psig=psig
         )
         cut_indices = breakpoints.filter_noisy_breakpoints(counts, initial, psig=psig)
-        adj = oracle.log_transform(adj, log_base=10, plus_one=True)
+        if matrix_mode == "device":
+            adj = np.asarray(adj_log_d, dtype=np.float64)
+        else:
+            adj = oracle.log_transform(adj, log_base=10, plus_one=True)
     elif hmm:
         from hic_genome_assembler_tpu.cluster import hmm_cuts
 

@@ -442,6 +442,40 @@ def get_chromosome_outline_coords(genome_order: List[List[Scaffold]]) -> List[in
     return coords
 
 
+def _reconstruct_genome_order(
+    chrom_list: List[List[List[object]]], order_file: str
+) -> List[List[Scaffold]]:
+    """Rebuild the full genome order (Scaffold objects with bin
+    sequences) from a merged chromosome-order file + the part-1 groups —
+    orientation uniquely determines the bin sequence, so a process that
+    searched only its own chromosome shard can still plot/emit the whole
+    genome after the file-bus merge."""
+    orderings = filebus.read_chromosome_ordering(order_file)
+    genome_order: List[List[Scaffold]] = []
+    for chrom_group, ordering in zip(chrom_list, orderings):
+        _, by_name = initiate_bins_and_scaffolds(chrom_group)
+        ordered = []
+        for name, orientation in ordering:
+            s = by_name[name]
+            s.orientation = orientation
+            ordered.append(s)
+        genome_order.append(ordered)
+    return genome_order
+
+
+def _wait_for_files(paths: Sequence[str], timeout_s: float, poll_s: float = 0.5) -> None:
+    import os
+
+    deadline = time.time() + timeout_s
+    while True:
+        missing = [p for p in paths if not os.path.exists(p)]
+        if not missing:
+            return
+        if time.time() > deadline:
+            raise TimeoutError(f"shard files never appeared: {missing}")
+        time.sleep(poll_s)
+
+
 def run_pipeline(
     hic_pro_bed_file: str,
     hic_pro_bias_file: str,
@@ -457,8 +491,23 @@ def run_pipeline(
     scan_scaffolds: int,
     resolution: int,
     mesh=None,
+    process_index: int = 0,
+    process_count: int = 1,
+    shard_wait_s: float = 3600.0,
 ) -> None:
-    """Part 2 driver (orderGenome.py:679-712)."""
+    """Part 2 driver (orderGenome.py:679-712).
+
+    ``mesh``: optional jax.sharding.Mesh — candidate batches are then
+    DP-sharded over its data axis inside every search stage.
+
+    ``process_index``/``process_count``: chromosome-level task sharding
+    (EP) for multi-host runs — each process searches its round-robin
+    chromosome shard (parallel.distributed.shard_chromosomes, replacing
+    the reference's serial loop orderGenome.py:608-622), writes
+    ``chromosome_order_file + '.shard<p>'``, and process 0 merges the
+    shards over the file bus (which doubles as the barrier) before
+    emitting the canonical order file, genome plot and plot-order file.
+    """
     print("########################################")
     print("### Working on Part2 of the pipeline ###")
     start = time.time()
@@ -466,6 +515,19 @@ def run_pipeline(
     bin_list = hicpro.initiate_loci(hic_pro_bed_file, hic_pro_bias_file, binID_dict=bin_dict)
     adj = hicpro.build_adjacency_matrix(hic_pro_matrix_file, bin_list)
     chrom_list = filebus.read_chroms_from_file(chromosome_group_file)
+
+    chrom_indices = None
+    if process_count > 1:
+        from hic_genome_assembler_tpu.parallel import distributed
+
+        chrom_indices = distributed.shard_chromosomes(
+            len(chrom_list), process_index, process_count
+        )
+        print(
+            "- EP shard: process {}/{} owns chromosomes {}".format(
+                process_index, process_count, [c + 1 for c in chrom_indices]
+            )
+        )
 
     genome_order = order_genome(
         adj,
@@ -478,7 +540,36 @@ def run_pipeline(
         save_plot_dir=save_plots_directory,
         plot_title_suffix=chromosome_plot_suffix,
         mesh=mesh,
+        chrom_indices=chrom_indices,
     )
+
+    if process_count > 1:
+        from hic_genome_assembler_tpu.parallel import distributed
+
+        shard_path = chromosome_order_file + f".shard{process_index}"
+        distributed.write_shard_orderings(
+            {
+                i + 1: [(s.name, s.orientation) for s in group]
+                for i, group in enumerate(genome_order)
+                if group is not None
+            },
+            shard_path,
+        )
+        if process_index != 0:
+            print("Total run-time  for Part2 = " + str(time.time() - start))
+            print(
+                "- Part 2 shard {} written; process 0 merges the canonical "
+                "order file".format(shard_path)
+            )
+            return
+        shard_files = [
+            chromosome_order_file + f".shard{p}" for p in range(process_count)
+        ]
+        _wait_for_files(shard_files, shard_wait_s)
+        distributed.merge_shard_orderings(
+            shard_files, len(chrom_list), chromosome_order_file
+        )
+        genome_order = _reconstruct_genome_order(chrom_list, chromosome_order_file)
 
     outline = get_chromosome_outline_coords(genome_order)
     ctx = _ChromosomeContext(adj, bin_list)

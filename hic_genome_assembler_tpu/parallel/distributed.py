@@ -106,12 +106,18 @@ def write_shard_orderings(
     orderings: Dict[int, List[Tuple[str, str]]], out_path: str
 ) -> None:
     """Write one process's chromosomes ({global 1-based idx: [(name,
-    orient), ...]}) preserving global numbering."""
-    with open(out_path, "w") as fh:
+    orient), ...]}) preserving global numbering.
+
+    Atomic (tmp + rename): shard files double as the inter-process
+    barrier, so a reader polling for existence must never see a partial
+    write."""
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as fh:
         for idx in sorted(orderings):
             fh.write(f"### Chromosome grouping {idx} ###\n")
             for name, orientation in orderings[idx]:
                 fh.write(f"{name}\t{orientation}\n")
+    os.replace(tmp, out_path)
 
 
 def _read_shard(path: str) -> Dict[int, List[Tuple[str, str]]]:

@@ -79,3 +79,53 @@ def test_fused_step_runs_on_mesh(mesh8):
     assert len(dist.sharding.device_set) == 8
     assert counts.shape == (64,)
     assert 0 <= int(best) < costs.shape[0]
+
+
+def test_rank_counts_sharded_equals_local(mesh8):
+    """RankCounts over the 2-D sharded rank matrix == local (VERDICT r1
+    item 5: the SP count kernels as a mesh product, not a demo).
+
+    Integer counts, so equality is exact."""
+    from hic_genome_assembler_tpu.cluster.breakpoints import RankCounts
+    from hic_genome_assembler_tpu.ops import oracle
+
+    rng = np.random.default_rng(7)
+    n = 45  # deliberately not a multiple of the mesh: exercises padding
+    m = rng.random((n, n))
+    m = np.triu(m, 1) + np.triu(m, 1).T + np.diag(rng.random(n))
+    rank = oracle.rank_matrix_desc(m)
+
+    local = RankCounts(rank)
+    sharded = RankCounts(rank, mesh=mesh8)
+    assert len(sharded._dev.sharding.device_set) == 8
+    for start in (0, 3, 17):
+        np.testing.assert_array_equal(sharded.growing(start), local.growing(start))
+    for start, cut in ((0, 10), (5, 30), (17, 44)):
+        np.testing.assert_array_equal(
+            sharded.fixed(start, cut), local.fixed(start, cut)
+        )
+    # batch prefetch path
+    sharded2 = RankCounts(rank, mesh=mesh8)
+    sharded2.prefetch_fixed(2, [8, 21, 40])
+    for cut in (8, 21, 40):
+        np.testing.assert_array_equal(
+            sharded2.fixed(2, cut), local.fixed(2, cut)
+        )
+
+
+def test_rank_counts_sharded_2d_mesh():
+    """Same equality on a (4, 2) mesh where the model axis is real and
+    the per-row count reduction psums across it."""
+    from hic_genome_assembler_tpu.cluster.breakpoints import RankCounts
+    from hic_genome_assembler_tpu.ops import oracle
+
+    mesh42 = pm.make_mesh((4, 2))
+    rng = np.random.default_rng(9)
+    n = 37
+    m = rng.random((n, n))
+    m = np.triu(m, 1) + np.triu(m, 1).T + np.diag(rng.random(n))
+    rank = oracle.rank_matrix_desc(m)
+    local = RankCounts(rank)
+    sharded = RankCounts(rank, mesh=mesh42)
+    np.testing.assert_array_equal(sharded.growing(4), local.growing(4))
+    np.testing.assert_array_equal(sharded.fixed(4, 20), local.fixed(4, 20))
