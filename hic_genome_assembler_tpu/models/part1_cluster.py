@@ -27,6 +27,7 @@ import numpy as np
 from hic_genome_assembler_tpu.cluster import breakpoints, louvain, upgma
 from hic_genome_assembler_tpu.io import filebus, hicpro
 from hic_genome_assembler_tpu.ops import oracle
+from hic_genome_assembler_tpu.utils import profiling
 
 
 # ---------------------------------------------------------------------------
@@ -220,15 +221,19 @@ def run_pipeline(
     print("########################################")
     print("### Working on Part1 of the pipeline ###")
     total_start = time.time()
+    profiling.reset()
 
     # --- ingest + cluster ---------------------------------------------------
     start = time.time()
-    bin_list = hicpro.initiate_loci(hic_pro_bed_file, hic_pro_bias_file)
-    adj = hicpro.build_adjacency_matrix(hic_pro_matrix_file, bin_list)
-    adj, bin_list = hicpro.remove_zero_rows(adj, bin_list)
-    adj = oracle.to_distance(adj)
+    with profiling.timer("part1/ingest"):
+        bin_list = hicpro.initiate_loci(hic_pro_bed_file, hic_pro_bias_file)
+        adj = hicpro.build_adjacency_matrix(hic_pro_matrix_file, bin_list)
+        adj, bin_list = hicpro.remove_zero_rows(adj, bin_list)
+    with profiling.timer("part1/distance_transform"):
+        adj = oracle.to_distance(adj)
     labels = [b.chrom + "_" + str(b.ID) for b in bin_list]
-    dendro = upgma.average_cluster_leaf_order(adj, labels)
+    with profiling.timer("part1/upgma"):
+        dendro = upgma.average_cluster_leaf_order(adj, labels)
     filebus.write_dendrogram_leaf_order(dendro["ivl"], dendro["leaves"], dendrogram_order_file)
     dendro = filebus.read_dendrogram_leaf_order(dendrogram_order_file)
     leaves = dendro["leaves"]
@@ -243,6 +248,10 @@ def run_pipeline(
     # --- cut detection ------------------------------------------------------
     start = time.time()
     row_sums = np.asarray([b.rowSum for b in bin_list])
+    cut_timer = profiling.timer(
+        "part1/cut_detection_hmm" if hmm else "part1/cut_detection_hypergeom"
+    )
+    cut_timer.__enter__()
     if hyper_geom:
         if matrix_mode == "device":
             import jax.numpy as jnp
@@ -282,12 +291,14 @@ def run_pipeline(
         )
     else:
         cut_indices = []
+    cut_timer.__exit__(None, None, None)
 
     # --- modularity tail ----------------------------------------------------
     if modularity and modularity > 0.0:
-        adj, bin_list, cut_indices = modularity_remaining_data(
-            adj, bin_list, cut_indices, n_rounds=louvain_rounds, seed=louvain_seed
-        )
+        with profiling.timer("part1/louvain_tail"):
+            adj, bin_list, cut_indices = modularity_remaining_data(
+                adj, bin_list, cut_indices, n_rounds=louvain_rounds, seed=louvain_seed
+            )
 
     # --- persist + plot -----------------------------------------------------
     adj_plot = oracle.to_distance(
@@ -310,14 +321,16 @@ def run_pipeline(
 
     # --- scaffold assignment ------------------------------------------------
     start = time.time()
-    size_dict = hicpro.read_size_file_to_dict(hic_pro_scaff_size_file)
-    bin_groups = filebus.read_bin_groupings(bin_group_file)
-    chrom_groups = assess_chromosome_clustering(bin_groups, assessment_file)
-    filebus.write_chromosome_groupings(chrom_groups, size_dict, chromosome_group_file)
+    with profiling.timer("part1/scaffold_assignment"):
+        size_dict = hicpro.read_size_file_to_dict(hic_pro_scaff_size_file)
+        bin_groups = filebus.read_bin_groupings(bin_group_file)
+        chrom_groups = assess_chromosome_clustering(bin_groups, assessment_file)
+        filebus.write_chromosome_groupings(chrom_groups, size_dict, chromosome_group_file)
     print(
         "Total run-time to assign scaffolds to chromosomes = "
         + str(time.time() - start)
     )
     print("Total run-time of Part1 = " + str(time.time() - total_start))
+    profiling.print_summary()
     print("CutIndices = " + str(cut_indices))
     print("- Part 1 (grouping bins to groups) completed successfully")

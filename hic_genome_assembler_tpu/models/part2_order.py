@@ -7,8 +7,9 @@ Search pipeline per chromosome (orderGenome.py:551-586):
    the BlockScorer table factorization (reference: one numba kernel call
    per candidate, orderGenome.py:432-473);
 2. greedy insertion of each remaining scaffold (size-descending): the
-   2(K+1) slot x orientation candidates batch-scored with the
-   DirectScorer (reference: checkAllScores, orderGenome.py:332-372);
+   2(K+1) slot x orientation candidates batch-scored in one dispatch via
+   SubsetScorer.score_pairs (reference: checkAllScores,
+   orderGenome.py:332-372);
 3. sliding-window refinement: all w!/2 * 2^w window permutations scored
    against the full chromosome matrix, sweeps repeated to convergence
    (reference: scanOrdering, orderGenome.py:495-549).
@@ -42,6 +43,7 @@ import numpy as np
 from hic_genome_assembler_tpu.io import filebus, hicpro
 from hic_genome_assembler_tpu.ops import cost as cost_ops
 from hic_genome_assembler_tpu.ops import perms
+from hic_genome_assembler_tpu.utils import profiling
 
 
 @dataclass
@@ -350,23 +352,27 @@ def order_chromosome(
     sizes = [s.n_bins for s in scaffold_list]
     names = [s.name for s in scaffold_list]
     canonical_bins = [b for s in scaffold_list for b in s.bins_asc]
-    chrom = cost_ops.ChromosomeScorer(
-        ctx.gather(canonical_bins),
-        sizes,
-        mesh=ctx.mesh,
-        device_sub=ctx.gather_device(canonical_bins),
-    )
+    with profiling.timer("part2/pair_table_build"):
+        chrom = cost_ops.ChromosomeScorer(
+            ctx.gather(canonical_bins),
+            sizes,
+            mesh=ctx.mesh,
+            device_sub=ctx.gather_device(canonical_bins),
+        )
     head_ids = list(range(min(n_scaffolds, len(scaffold_list))))
     tail_ids = list(range(len(head_ids), len(scaffold_list)))
-    order_ids, orient_flags, _bf = brute_force_best(chrom, head_ids, names)
-    order_ids, orient_flags, best_cost = order_remainder_scaffolds(
-        chrom, order_ids, orient_flags, tail_ids
-    )
+    with profiling.timer("part2/brute_force"):
+        order_ids, orient_flags, _bf = brute_force_best(chrom, head_ids, names)
+    with profiling.timer("part2/greedy_insertion"):
+        order_ids, orient_flags, best_cost = order_remainder_scaffolds(
+            chrom, order_ids, orient_flags, tail_ids
+        )
     print("BestCost at the end of first two steps " + str(best_cost))
     if len(order_ids) > n_scaffolds:
-        order_ids, orient_flags, best_cost = scan_ordering(
-            chrom, order_ids, orient_flags, best_cost, scan_scaffolds
-        )
+        with profiling.timer("part2/sliding_window"):
+            order_ids, orient_flags, best_cost = scan_ordering(
+                chrom, order_ids, orient_flags, best_cost, scan_scaffolds
+            )
     print("Final ordering...")
     ordered: List[Scaffold] = []
     for gid, e in zip(order_ids, orient_flags):
@@ -511,10 +517,12 @@ def run_pipeline(
     print("########################################")
     print("### Working on Part2 of the pipeline ###")
     start = time.time()
-    bin_dict = filebus.read_groupings_to_valid_bins(chromosome_group_file)
-    bin_list = hicpro.initiate_loci(hic_pro_bed_file, hic_pro_bias_file, binID_dict=bin_dict)
-    adj = hicpro.build_adjacency_matrix(hic_pro_matrix_file, bin_list)
-    chrom_list = filebus.read_chroms_from_file(chromosome_group_file)
+    profiling.reset()
+    with profiling.timer("part2/ingest"):
+        bin_dict = filebus.read_groupings_to_valid_bins(chromosome_group_file)
+        bin_list = hicpro.initiate_loci(hic_pro_bed_file, hic_pro_bias_file, binID_dict=bin_dict)
+        adj = hicpro.build_adjacency_matrix(hic_pro_matrix_file, bin_list)
+        chrom_list = filebus.read_chroms_from_file(chromosome_group_file)
 
     chrom_indices = None
     if process_count > 1:
@@ -598,4 +606,5 @@ def run_pipeline(
         plot_order_file,
     )
     print("Total run-time  for Part2 = " + str(time.time() - start))
+    profiling.print_summary()
     print("- Part 2 (chromosome ordering) completed successfully")

@@ -9,17 +9,15 @@ trace(M_P, j)) / total / i.  Swapping the summation order gives
     w(d)    = H_d / total,   H_d = sum_{i=d}^{C-1} 1/i,
 
 i.e. a fixed harmonic weight profile contracted against the permuted
-matrix.  Two device paths exploit this:
-
-* ``DirectScorer`` — batched gather + weighted reduction for arbitrary
-  candidate bin orders (used by greedy insertion / sliding-window
-  refinement, where candidate counts are modest);
-* ``BlockScorer`` — scaffold-block factorization for brute force: every
-  scaffold pair's contribution depends only on (pair, orientations,
-  start-offset delta), so one scatter + one MXU matmul precomputes a
-  lookup table F[pair, orient, delta] and each of the N!/2 * 2^N
-  candidates scores in O(S^2) gathers instead of O(C^2) — a ~C^2/S^2
-  algorithmic speedup over the reference kernel before any parallelism.
+matrix.  ``ChromosomeScorer`` exploits this with a scaffold-block
+factorization: every scaffold pair's contribution depends only on
+(pair, orientations, start-offset delta), so one device pass over the
+C x C submatrix precomputes a lookup table F[pair, orient, delta] and
+every candidate — brute force (``SubsetScorer.score_batch_topk``),
+greedy insertion and sliding-window refinement
+(``SubsetScorer.score_pairs``) — scores in O(S^2) table gathers instead
+of O(C^2), a ~C^2/S^2 algorithmic speedup over the reference kernel
+before any parallelism.
 
 Decision exactness: device scoring runs in fast (f32 on TPU) precision;
 ``argmax_reference_ties`` re-scores the top-k candidates on host in
@@ -74,66 +72,6 @@ def bin_order_of_block(
         bins = np.arange(offsets[s], offsets[s] + sizes[s])
         chunks.append(bins[::-1] if e else bins)
     return np.concatenate(chunks).astype(np.int32)
-
-
-# ---------------------------------------------------------------------------
-# Direct (gather) scorer
-# ---------------------------------------------------------------------------
-
-
-@jax.jit
-def _direct_score_kernel(m: jnp.ndarray, w2: jnp.ndarray, orders: jnp.ndarray) -> jnp.ndarray:
-    gathered = m[orders[:, :, None], orders[:, None, :]]
-    return 0.5 * jnp.einsum("bij,ij->b", gathered, w2)
-
-
-class DirectScorer:
-    """Batched scoring of arbitrary bin orders over one submatrix."""
-
-    def __init__(
-        self,
-        sub_matrix: np.ndarray,
-        dtype=np.float32,
-        chunk_elems: int = 1 << 26,
-        mesh=None,
-    ):
-        self._mesh = mesh
-        self.m64 = np.asarray(sub_matrix, dtype=np.float64)
-        self.C = self.m64.shape[0]
-        self.total = upper_triangle_total(self.m64)
-        self.degenerate = self.total == 0.0
-        self.w = harmonic_weights(self.C, self.total)
-        idx = np.abs(np.subtract.outer(np.arange(self.C), np.arange(self.C)))
-        self._w2 = self.w[idx]
-        self._md = jnp.asarray(self.m64.astype(dtype))
-        self._w2d = jnp.asarray(self._w2.astype(dtype))
-        self._chunk = max(1, chunk_elems // max(self.C * self.C, 1))
-
-    def score(self, orders: np.ndarray) -> np.ndarray:
-        """Device costs for int[B, C] candidate bin orders."""
-        if self.degenerate:
-            return np.zeros(orders.shape[0], dtype=np.float64)
-        out = []
-        for ofs in range(0, orders.shape[0], self._chunk):
-            chunk = orders[ofs : ofs + self._chunk].astype(np.int32)
-            n_real = chunk.shape[0]
-            if self._mesh is None:
-                chunk_d = jnp.asarray(chunk)
-            else:
-                from hic_genome_assembler_tpu.parallel import mesh as pm
-
-                chunk_d, _ = pm.put_batch_padded(self._mesh, chunk)
-            scored = np.asarray(_direct_score_kernel(self._md, self._w2d, chunk_d))
-            out.append(scored[:n_real])
-        return np.concatenate(out).astype(np.float64)
-
-    def score_host(self, order: np.ndarray) -> float:
-        """Reference-exact f64 cost of one bin order (same summation
-        order as orderGenome.py:184-191)."""
-        if self.degenerate:
-            return 0.0
-        gathered = self.m64[np.ix_(order, order)]
-        return oracle.cost_function(gathered, self.total)
 
 
 # ---------------------------------------------------------------------------
@@ -841,14 +779,14 @@ class SubsetScorer:
         out = _pair_score_kernel(
             self._F_flat,
             self._sizes_d,
-            jnp.asarray(orders.astype(np.int32)),
-            jnp.asarray(orients.astype(np.int32)),
+            self._put_batch(orders.astype(np.int32)),
+            self._put_batch(orients.astype(np.int32)),
             jnp.asarray(pi.astype(np.int32)),
             jnp.asarray(pj.astype(np.int32)),
             jnp.asarray(self.c0, dtype=self._F_flat.dtype),
             self.C + 1,
         )
-        return np.asarray(out, dtype=np.float64)
+        return np.asarray(out, dtype=np.float64)[:B]
 
     def score_host(self, order: Sequence[int], orient: Sequence[int]) -> float:
         """Reference-exact f64 cost for one (order, orientation); pad

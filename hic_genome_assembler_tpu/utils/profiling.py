@@ -7,8 +7,8 @@ Replaces the reference's bracket-and-print time.time() scattering
   into a process-wide registry (printed summary on demand);
 * ``device_trace(logdir)`` — jax.profiler trace context for TensorBoard
   (per-kernel HLO timings on TPU);
-* ``flops_estimate`` helpers for the scoring kernels so benchmarks can
-  report utilization, not just rates.
+* ``block_scorer_gather_count`` so benchmarks can report table-gather
+  throughput, not just candidate rates.
 """
 
 from __future__ import annotations
@@ -64,7 +64,3 @@ def block_scorer_gather_count(n_candidates: int, n_scaffolds: int) -> int:
     """Table gathers issued per brute-force batch."""
     return n_candidates * (n_scaffolds * (n_scaffolds - 1) // 2)
 
-
-def direct_scorer_flops(n_candidates: int, c_bins: int) -> int:
-    """Multiply-add count of the gather-reduction scorer."""
-    return 2 * n_candidates * c_bins * c_bins

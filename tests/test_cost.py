@@ -27,22 +27,6 @@ def test_harmonic_weight_identity():
     assert direct == pytest.approx(oracle.cost_function(m, total), rel=1e-12)
 
 
-def test_direct_scorer_matches_oracle():
-    m, sizes = random_block_problem(2)
-    scorer = cost.DirectScorer(m, dtype=np.float64)
-    rng = np.random.default_rng(3)
-    orders = np.stack([rng.permutation(m.shape[0]) for _ in range(17)]).astype(np.int32)
-    got = scorer.score(orders)
-    want = np.array(
-        [oracle.cost_function(m[np.ix_(o, o)], scorer.total) for o in orders]
-    )
-    np.testing.assert_allclose(got, want, rtol=1e-9)
-    # host path is bit-compatible with the oracle
-    assert scorer.score_host(orders[0]) == oracle.cost_function(
-        m[np.ix_(orders[0], orders[0])], scorer.total
-    )
-
-
 def test_block_scorer_exhaustive_matches_oracle():
     """Every (order, orientation) candidate of a 4-scaffold brute force
     must score identically to the reference formula."""
@@ -83,8 +67,6 @@ def test_degenerate_zero_total():
     scorer = cost.BlockScorer(m, sizes)
     out = scorer.score_batch(perms.order_batch(2), perms.orient_batch(2))
     assert np.all(out == 0.0)
-    ds = cost.DirectScorer(m)
-    assert np.all(ds.score(np.array([[0, 1, 2]])) == 0.0)
 
 
 def test_argmax_reference_ties():

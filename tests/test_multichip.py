@@ -33,12 +33,19 @@ def test_block_scorer_sharded_equals_local(mesh8):
     np.testing.assert_allclose(sharded, local, rtol=1e-12)
 
 
-def test_direct_scorer_sharded_equals_local(mesh8):
-    m, _ = _problem(1)
+def test_score_pairs_sharded_equals_local(mesh8):
+    """The greedy/sliding-window per-candidate kernel DP-shards its
+    batch over the mesh and matches the local path exactly (batch of 13:
+    exercises the repeat-last padding)."""
+    m, sizes = _problem(1)
     rng = np.random.default_rng(2)
-    orders = np.stack([rng.permutation(m.shape[0]) for _ in range(13)]).astype(np.int32)
-    local = cost.DirectScorer(m, dtype=np.float64).score(orders)
-    sharded = cost.DirectScorer(m, dtype=np.float64, mesh=mesh8).score(orders)
+    S = len(sizes)
+    orders = np.stack([rng.permutation(S) for _ in range(13)]).astype(np.int32)
+    orients = rng.integers(0, 2, orders.shape).astype(np.int32)
+    local = cost.BlockScorer(m, sizes, dtype=np.float64).score_pairs(orders, orients)
+    sharded = cost.BlockScorer(m, sizes, dtype=np.float64, mesh=mesh8).score_pairs(
+        orders, orients
+    )
     np.testing.assert_allclose(sharded, local, rtol=1e-12)
 
 
