@@ -22,7 +22,7 @@ the loop runs to fixpoint with a large safety cap.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -47,16 +47,34 @@ def sliding_window_break_signals(sig: np.ndarray, window: int) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     sig = np.asarray(sig, dtype=np.int64)
     csum = np.concatenate([[0], np.cumsum(sig)])
-    out = np.zeros(n - window, dtype=np.int64)
-    for i in range(n - window):
-        left = csum[i + window] - csum[i]
-        hi = i + 2 * window
-        if hi > n:
-            out[i] = 0  # shape-mismatch guard in the reference
-        else:
-            right = csum[hi] - csum[i + window]
-            out[i] = left - right
-    return out
+    i = np.arange(n - window)
+    left = csum[i + window] - csum[i]
+    hi = i + 2 * window
+    truncated = hi > n  # shape-mismatch guard in the reference -> 0
+    right = csum[np.minimum(hi, n)] - csum[i + window]
+    return np.where(truncated, 0, left - right)
+
+
+# Below this size the whole count scan is cheaper on host than ONE
+# device round trip (the tunneled link costs ~150 ms per sync and
+# 15-40 s per first compile; a vectorized host scan at n=4096 is
+# ~30 ms).  Benchmarked: part1 at 123 bins was 98.8 s on the tunneled
+# TPU vs 0.4 s on host (BENCHMARKS.md round 2).
+_HOST_N = 4096
+
+
+def _host_growing_counts(rank_mat: np.ndarray, start: int) -> np.ndarray:
+    n = rank_mat.shape[0]
+    rows = np.arange(n, dtype=np.int64)[:, None]
+    cols = np.arange(n, dtype=np.int64)[None, :]
+    mask = (cols < rows - start) & (rank_mat >= start) & (rank_mat <= rows)
+    return mask.sum(axis=1).astype(np.int32)
+
+
+def _host_fixed_counts(rank_mat: np.ndarray, start: int, cut: int) -> np.ndarray:
+    width = max(cut - start, 0)
+    window = rank_mat[:, :width]
+    return ((window >= start) & (window <= cut)).sum(axis=1).astype(np.int32)
 
 
 class RankCounts:
@@ -80,6 +98,14 @@ class RankCounts:
     def __init__(self, rank_mat, mesh=None):
         self.n = rank_mat.shape[0]
         self._mesh = mesh
+        self._host: Optional[np.ndarray] = None
+        if mesh is None and self.n < _HOST_N:
+            # tiny matrices: vectorized host scan beats any device path
+            # behind a network link (see _HOST_N note above)
+            self._host = np.asarray(rank_mat, dtype=np.int32)
+            self._use_pallas = False
+            self._cache = {}
+            return
         import jax
 
         if mesh is not None:
@@ -117,6 +143,10 @@ class RankCounts:
         hit = self._cache.get(key)
         if hit is not None:
             return hit
+        if self._host is not None:
+            out = _host_growing_counts(self._host, int(start))
+            self._cache[key] = out
+            return out
         if self._use_pallas:
             from hic_genome_assembler_tpu.ops import pallas_kernels as pk
 
@@ -134,6 +164,10 @@ class RankCounts:
         hit = self._cache.get(key)
         if hit is not None:
             return hit
+        if self._host is not None:
+            out = _host_fixed_counts(self._host, int(start), int(cut))
+            self._cache[key] = out
+            return out
         if self._use_pallas:
             from hic_genome_assembler_tpu.ops import pallas_kernels as pk
 
@@ -153,6 +187,10 @@ class RankCounts:
         — ONE device dispatch instead of len(cuts) round trips."""
         missing = [int(c) for c in cuts if (int(start), int(c)) not in self._cache]
         if not missing:
+            return
+        if self._host is not None:
+            for c in missing:
+                self.fixed(start, c)
             return
         if self._use_pallas:
             from hic_genome_assembler_tpu.ops import pallas_kernels as pk
