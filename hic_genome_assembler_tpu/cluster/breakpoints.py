@@ -201,8 +201,30 @@ class RankCounts:
             for c, row in zip(missing, rows):
                 self._cache[(int(start), c)] = row
         else:
-            for c in missing:
-                self.fixed(start, c)
+            import jax
+
+            if jax.devices()[0].platform == "cpu":
+                # local backend: per-call launches cost microseconds and
+                # the pow2-padded batch only adds work
+                for c in missing:
+                    self.fixed(start, c)
+                return
+            from hic_genome_assembler_tpu.ops import matrix as dev
+
+            # expensive link (tunneled TPU / multi-host mesh): one
+            # dispatch + one readback for the whole working set
+            # (K padded to the next power of two to bound executables)
+            K = len(missing)
+            Kp = 1 << max(K - 1, 0).bit_length()
+            params = np.zeros((Kp, 2), dtype=np.int32)
+            params[:K, 0] = int(start)
+            params[:K, 1] = missing
+            params[K:] = params[max(K - 1, 0)]
+            rows = np.asarray(
+                dev.fixed_window_counts_many(self._dev, jnp.asarray(params))
+            )[:, : self.n]
+            for c, row in zip(missing, rows[:K]):
+                self._cache[(int(start), c)] = row
 
 
 def find_matrix_pvalue_breakpoints(

@@ -131,6 +131,24 @@ def fixed_window_counts(
     return jnp.sum(in_prefix & in_range, axis=1, dtype=jnp.int32)
 
 
+@jax.jit
+def fixed_window_counts_many(
+    rank_mat: jnp.ndarray,
+    params: jnp.ndarray,
+) -> jnp.ndarray:
+    """Batched fixed-window counts: params int32[K, 2] of (start, cut)
+    rows -> int32[K, n].
+
+    One dispatch + one readback for the cut-noise filter's whole working
+    set (the XLA analog of pallas_kernels.fixed_window_counts_many; the
+    per-call path costs a full kernel launch + host sync per (start,
+    cut), which dominated part-1 cut detection — see BENCHMARKS.md).
+    """
+    return jax.vmap(
+        lambda p: fixed_window_counts(rank_mat, p[0], p[1])
+    )(params)
+
+
 def condensed_upper(matrix: np.ndarray) -> np.ndarray:
     """Upper triangle (k=1) in scipy condensed order.
 

@@ -105,3 +105,24 @@ def test_mesh_sharded_transform_runs():
     out = dev.to_distance(sharded)
     np.testing.assert_allclose(np.asarray(out), oracle.to_distance(m), rtol=1e-12)
     assert len(out.sharding.device_set) == 8
+
+
+def test_fixed_window_counts_many_matches_single():
+    """Batched (start, cut) counts == per-call kernel == oracle."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hic_genome_assembler_tpu.ops import matrix as dev
+    from hic_genome_assembler_tpu.ops import oracle
+
+    rng = np.random.default_rng(11)
+    n = 60
+    m = rng.random((n, n))
+    rank = oracle.rank_matrix_desc(m)
+    params = np.array([[0, 10], [3, 25], [7, 59], [0, 0]], dtype=np.int32)
+    batched = np.asarray(
+        dev.fixed_window_counts_many(jnp.asarray(rank), jnp.asarray(params))
+    )
+    for k, (s, c) in enumerate(params):
+        want = oracle.fixed_window_counts(rank, int(s), int(c))
+        np.testing.assert_array_equal(batched[k], want)
