@@ -103,6 +103,34 @@ def _m_step(X, gamma, xi_sum):
     return means, jnp.maximum(covars, _MIN_COVAR), trans
 
 
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def _em_fit(X, means0, covars0, trans0, log_start, tol, n_iter):
+    """Device-resident EM: the whole fit is ONE dispatch.
+
+    lax.while_loop over iterations (no host sync per step — behind a
+    tunneled link the per-iteration readback of the log-likelihood used
+    to cost ~150 ms x up to n_iter).  Semantics identical to the python
+    loop it replaces: lp is computed from the PRE-update parameters,
+    the M-step always applies, and the loop stops once lp - prev_lp <
+    tol (hmmlearn's convergence rule) or after n_iter iterations.
+    """
+
+    def cond(carry):
+        _m, _c, _t, _prev, i, done = carry
+        return jnp.logical_and(~done, i < n_iter)
+
+    def body(carry):
+        means, covars, trans, prev_lp, i, _done = carry
+        log_b = _log_gaussian_diag(X, means, covars)
+        lp, gamma, xi = _forward_backward(log_b, log_start, jnp.log(trans))
+        means, covars, trans = _m_step(X, gamma, xi)
+        return (means, covars, trans, lp, i + 1, lp - prev_lp < tol)
+
+    carry0 = (means0, covars0, trans0, -jnp.inf, 0, jnp.bool_(False))
+    means, covars, trans, _lp, _i, _done = jax.lax.while_loop(cond, body, carry0)
+    return means, covars, trans
+
+
 @jax.jit
 def _viterbi(log_b, log_start, log_trans):
     def step(delta, lb):
@@ -155,24 +183,19 @@ class GaussianHMM2:
     def fit(self, X) -> "GaussianHMM2":
         X = np.asarray(X, dtype=np.float64)
         means, covars = self._init_params(X)
-        trans = self.transmat_init.copy()
         log_start = jnp.log(jnp.asarray(self.startprob))
-        Xd = jnp.asarray(X)
-        prev_lp = -np.inf
-        for _ in range(self.n_iter):
-            log_b = _log_gaussian_diag(Xd, jnp.asarray(means), jnp.asarray(covars))
-            lp, gamma, xi = _forward_backward(log_b, log_start, jnp.log(jnp.asarray(trans)))
-            means_j, covars_j, trans_j = _m_step(Xd, gamma, xi)
-            means, covars, trans = (
-                np.asarray(means_j),
-                np.asarray(covars_j),
-                np.asarray(trans_j),
-            )
-            lp = float(lp)
-            if lp - prev_lp < self.tol:
-                break
-            prev_lp = lp
-        self.means_, self.covars_, self.transmat_ = means, covars, trans
+        means_j, covars_j, trans_j = _em_fit(
+            jnp.asarray(X),
+            jnp.asarray(means),
+            jnp.asarray(covars),
+            jnp.asarray(self.transmat_init),
+            log_start,
+            self.tol,
+            self.n_iter,
+        )
+        self.means_ = np.asarray(means_j)
+        self.covars_ = np.asarray(covars_j)
+        self.transmat_ = np.asarray(trans_j)
         return self
 
     def predict(self, X) -> np.ndarray:
