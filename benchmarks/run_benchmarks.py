@@ -307,6 +307,31 @@ def config2_part1_e2e(n: int = 16384, n_chroms: int = 25) -> None:
     sim = oracle.to_similarity(d, row_sums[leaves])
     rank = oracle.rank_matrix_desc(sim)
     t_rank = time.time() - t0
+
+    # matrixMode=device variant of the same stage (f32 on-device
+    # similarity + rank argsort; the production flag in config.py).
+    # Transfer is timed separately: in a real run the matrix is already
+    # device-resident from earlier stages, and over the dev tunnel the
+    # 1 GB host->device copy would otherwise swamp the compute number.
+    from hic_genome_assembler_tpu.ops import matrix as dev_ops
+
+    d32 = d.astype(np.float32)
+    rs32 = row_sums[leaves].astype(np.float32)
+    t0 = time.time()
+    d_dev = jax.device_put(d32)
+    rs_dev = jax.device_put(rs32)
+    jax.block_until_ready((d_dev, rs_dev))
+    t_transfer = time.time() - t0
+
+    def _dev_rank():
+        sim_dev = dev_ops.to_similarity(d_dev, rs_dev)
+        r = dev_ops.rank_matrix_desc(sim_dev)
+        return int(np.asarray(r[0, 0]))  # consume
+
+    _dev_rank()  # compile
+    t0 = time.time()
+    _dev_rank()
+    t_rank_dev = time.time() - t0
     t0 = time.time()
     counts = breakpoints.RankCounts(rank)
     initial = breakpoints.pre_process_all_matrix_breakpoints(
@@ -323,6 +348,8 @@ def config2_part1_e2e(n: int = 16384, n_chroms: int = 25) -> None:
             "distance_f64_host_s": round(t_dist, 2),
             "upgma_s": round(t_upgma, 2),
             "similarity_plus_rank_s": round(t_rank, 2),
+            "similarity_plus_rank_device_s": round(t_rank_dev, 2),
+            "device_transfer_s": round(t_transfer, 2),
             "cut_detection_s": round(t_cuts, 2),
             "total_s": round(t_dist + t_upgma + t_rank + t_cuts, 2),
             "initial_cuts": len(initial),
