@@ -128,11 +128,28 @@ class RankCounts:
             self._dev = jax.device_put(padded, pm.matrix_sharding(mesh))
             self._use_pallas = False  # Pallas kernels are single-device
         else:
-            if isinstance(rank_mat, np.ndarray):
+            self._use_pallas = jax.devices()[0].platform not in ("cpu",)
+            if self._use_pallas:
+                # pad + cast ONCE: per-call padding would copy the full
+                # 1 GiB matrix through HBM on every scan (measured 0.9 s
+                # per growing() call at 16K over the tunnel vs the
+                # 1.4 ms scan itself)
+                from hic_genome_assembler_tpu.ops import pallas_kernels as pk
+
+                if isinstance(rank_mat, np.ndarray):
+                    t_r = -self.n % pk._TILE_R
+                    t_c = -self.n % pk._TILE_C
+                    host = np.full(
+                        (self.n + t_r, self.n + t_c), -1, dtype=np.int32
+                    )
+                    host[: self.n, : self.n] = rank_mat
+                    self._dev = jnp.asarray(host)
+                else:
+                    self._dev = pk.pad_rank(jnp.asarray(rank_mat, dtype=jnp.int32))
+            elif isinstance(rank_mat, np.ndarray):
                 self._dev = jnp.asarray(rank_mat.astype(np.int32))
             else:
                 self._dev = jnp.asarray(rank_mat, dtype=jnp.int32)
-            self._use_pallas = jax.devices()[0].platform not in ("cpu",)
         # (start,) / (start, cut) -> counts.  The cut-noise filter's
         # convergence rounds re-request the same windows many times and
         # each device round trip costs ~100ms over a thin host link.
@@ -150,7 +167,7 @@ class RankCounts:
         if self._use_pallas:
             from hic_genome_assembler_tpu.ops import pallas_kernels as pk
 
-            out = np.asarray(pk.growing_window_counts(self._dev, start))
+            out = np.asarray(pk.growing_window_counts(self._dev, start, n=self.n))
         else:
             from hic_genome_assembler_tpu.ops import matrix as dev
 
@@ -171,7 +188,7 @@ class RankCounts:
         if self._use_pallas:
             from hic_genome_assembler_tpu.ops import pallas_kernels as pk
 
-            out = np.asarray(pk.fixed_window_counts(self._dev, start, cut))
+            out = np.asarray(pk.fixed_window_counts(self._dev, start, cut, n=self.n))
         else:
             from hic_genome_assembler_tpu.ops import matrix as dev
 
@@ -196,7 +213,7 @@ class RankCounts:
             from hic_genome_assembler_tpu.ops import pallas_kernels as pk
 
             rows = pk.fixed_window_counts_many(
-                self._dev, [(int(start), c) for c in missing]
+                self._dev, [(int(start), c) for c in missing], n=self.n
             )
             for c, row in zip(missing, rows):
                 self._cache[(int(start), c)] = row

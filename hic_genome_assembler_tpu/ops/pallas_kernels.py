@@ -116,12 +116,20 @@ def fixed_window_counts_many(
     rank_mat: jnp.ndarray,
     pairs,
     interpret: bool = False,
+    n: int | None = None,
 ) -> np.ndarray:
     """Fixed-window counts for many (start, cut) pairs; one device
     dispatch (K padded to the next power of two to bound executables).
-    Returns int32[K, n]."""
-    n = rank_mat.shape[0]
-    padded = _pad_rank(rank_mat.astype(jnp.int32))
+    Returns int32[K, n].
+
+    Pass ``n`` (the real row count) when ``rank_mat`` is already int32
+    and tile-padded via :func:`pad_rank` — that skips two full-matrix
+    HBM copies per call, which at 16K (1 GiB) cost more than the scan
+    itself (RankCounts pads once at construction).
+    """
+    if n is None:
+        n = rank_mat.shape[0]
+        rank_mat = pad_rank(rank_mat.astype(jnp.int32))
     pairs = np.asarray(pairs, dtype=np.int32)
     K = pairs.shape[0]
     Kp = 1 << max(K - 1, 0).bit_length() if K else 1
@@ -130,11 +138,11 @@ def fixed_window_counts_many(
     params[:K, 1] = pairs[:, 1]
     if K < Kp:
         params[K:] = params[max(K - 1, 0)]
-    out = _counts_call_many(padded, jnp.asarray(params), interpret=interpret)
+    out = _counts_call_many(rank_mat, jnp.asarray(params), interpret=interpret)
     return np.asarray(out[:K, :n])
 
 
-def _pad_rank(rank_mat: jnp.ndarray) -> jnp.ndarray:
+def pad_rank(rank_mat: jnp.ndarray) -> jnp.ndarray:
     """Pad to tile multiples with -1 rank entries (never in [start, hi],
     so padding contributes zero to every count)."""
     n = rank_mat.shape[0]
@@ -146,29 +154,29 @@ def _pad_rank(rank_mat: jnp.ndarray) -> jnp.ndarray:
 
 
 def growing_window_counts(
-    rank_mat: jnp.ndarray, start, interpret: bool = False
+    rank_mat: jnp.ndarray, start, interpret: bool = False, n: int | None = None
 ) -> jnp.ndarray:
     """count[i] = #{ j < i - start : start <= R[i, j] <= i } — Pallas
     fused version of ops.matrix.growing_window_counts.
 
     Padding rows produce counts for phantom rows (sliced off); padding
-    columns hold rank -1 and never count.
+    columns hold rank -1 and never count.  Pass ``n`` when ``rank_mat``
+    is already int32 + tile-padded (see fixed_window_counts_many).
     """
-    n = rank_mat.shape[0]
-    padded = _pad_rank(rank_mat.astype(jnp.int32))
-    start = jnp.asarray(start, dtype=jnp.int32)
-    params = jnp.stack([start, jnp.int32(0), jnp.int32(1)])
-    return _counts_call(padded, params, interpret=interpret)[:n]
+    if n is None:
+        n = rank_mat.shape[0]
+        rank_mat = pad_rank(rank_mat.astype(jnp.int32))
+    params = np.array([int(start), 0, 1], dtype=np.int32)
+    return _counts_call(rank_mat, jnp.asarray(params), interpret=interpret)[:n]
 
 
 def fixed_window_counts(
-    rank_mat: jnp.ndarray, start, cut, interpret: bool = False
+    rank_mat: jnp.ndarray, start, cut, interpret: bool = False, n: int | None = None
 ) -> jnp.ndarray:
     """count[i] = #{ j < cut - start : start <= R[i, j] <= cut } — Pallas
     fused version of ops.matrix.fixed_window_counts."""
-    n = rank_mat.shape[0]
-    padded = _pad_rank(rank_mat.astype(jnp.int32))
-    start = jnp.asarray(start, dtype=jnp.int32)
-    cut = jnp.asarray(cut, dtype=jnp.int32)
-    params = jnp.stack([start, cut, jnp.int32(0)])
-    return _counts_call(padded, params, interpret=interpret)[:n]
+    if n is None:
+        n = rank_mat.shape[0]
+        rank_mat = pad_rank(rank_mat.astype(jnp.int32))
+    params = np.array([int(start), int(cut), 0], dtype=np.int32)
+    return _counts_call(rank_mat, jnp.asarray(params), interpret=interpret)[:n]

@@ -44,6 +44,29 @@ def resolve_mesh_spec(mesh_spec: Optional[str] = None) -> str:
     return os.environ.get("HIC_MESH", "auto")
 
 
+def _enable_persistent_compile_cache() -> None:
+    """Point XLA at an on-disk compilation cache so pipeline reruns skip
+    the 15-40 s first-compile cost of the count/score kernels (the
+    reference has no compile step at all, so cold-compile time is pure
+    regression against it on short runs).  Override the location with
+    $HIC_JAX_CACHE; disable with HIC_JAX_CACHE=off."""
+    loc = os.environ.get("HIC_JAX_CACHE", "")
+    if loc.lower() == "off":
+        return
+    if not loc:
+        loc = os.path.join(
+            os.path.expanduser("~"), ".cache", "hic_assembler_jax"
+        )
+    import jax
+
+    try:
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError):
+        pass  # read-only filesystem or older jax: run without the cache
+
+
 def bring_up(mesh_spec: Optional[str] = None) -> RuntimeContext:
     """Initialize jax.distributed (when configured via env) and build the
     device mesh per ``mesh_spec`` (see module docstring).
@@ -53,6 +76,7 @@ def bring_up(mesh_spec: Optional[str] = None) -> RuntimeContext:
     """
     from hic_genome_assembler_tpu.parallel import distributed
 
+    _enable_persistent_compile_cache()
     spec = resolve_mesh_spec(mesh_spec)
     process_index, process_count = distributed.init_distributed()
 

@@ -40,3 +40,47 @@ def test_fixed_counts_match_xla(rank_mat, start, cut):
         pk.fixed_window_counts(jnp.asarray(rank_mat), start, cut, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_prepadded_paths_match_unpadded(rank_mat):
+    """RankCounts pads the rank matrix ONCE and passes n=; the
+    pre-padded entry points must agree with the pad-per-call ones."""
+    n = rank_mat.shape[0]
+    padded = pk.pad_rank(jnp.asarray(rank_mat, dtype=jnp.int32))
+    assert padded.shape[0] % pk._TILE_R == 0
+    assert padded.shape[1] % pk._TILE_C == 0
+
+    for start in (0, 7, 300):
+        want = np.asarray(
+            pk.growing_window_counts(jnp.asarray(rank_mat), start, interpret=True)
+        )
+        got = np.asarray(
+            pk.growing_window_counts(padded, start, interpret=True, n=n)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    want = np.asarray(
+        pk.fixed_window_counts(jnp.asarray(rank_mat), 3, 77, interpret=True)
+    )
+    got = np.asarray(pk.fixed_window_counts(padded, 3, 77, interpret=True, n=n))
+    np.testing.assert_array_equal(got, want)
+
+    pairs = [(0, 5), (3, 77), (100, 400)]
+    want = pk.fixed_window_counts_many(jnp.asarray(rank_mat), pairs, interpret=True)
+    got = pk.fixed_window_counts_many(padded, pairs, interpret=True, n=n)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rankcounts_host_pad_layout():
+    """The host-side one-shot pad in RankCounts matches pad_rank."""
+    from hic_genome_assembler_tpu.cluster import breakpoints
+
+    rng = np.random.default_rng(1)
+    n = 130
+    rank = np.argsort(-rng.random((n, n)), axis=1).astype(np.int32)
+    t_r = -n % pk._TILE_R
+    t_c = -n % pk._TILE_C
+    host = np.full((n + t_r, n + t_c), -1, dtype=np.int32)
+    host[:n, :n] = rank
+    want = np.asarray(pk.pad_rank(jnp.asarray(rank, dtype=jnp.int32)))
+    np.testing.assert_array_equal(host, want)
