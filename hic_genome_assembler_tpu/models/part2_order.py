@@ -115,6 +115,63 @@ class _ChromosomeContext:
         return jnp.take(jnp.take(self._device_matrix, idx, axis=0), idx, axis=1)
 
 
+def _drive(gen):
+    """Run a search coroutine to completion serially (the coroutine
+    protocol: yields a tuple of dispatched device arrays, receives the
+    corresponding host numpy arrays)."""
+    try:
+        handles = next(gen)
+        while True:
+            handles = gen.send([np.asarray(h) for h in handles])
+    except StopIteration as e:
+        return e.value
+
+
+def _host_async(handles) -> None:
+    """Start device->host copies for every handle without blocking."""
+    for h in handles:
+        copy = getattr(h, "copy_to_host_async", None)
+        if copy is not None:
+            copy()
+
+
+def _run_interleaved(coros: List) -> List:
+    """Round-robin scheduler for independent search coroutines.
+
+    Each chromosome's search is a sequential chain of small device
+    batches, and every readback over a tunneled / multi-host link costs
+    ~150 ms of latency — serially that dominates part-2 wall-clock.
+    Interleaving N independent chromosomes overlaps those syncs: while
+    chromosome i's batch computes/transfers, the scheduler advances the
+    others, so by the time i is revisited its result is typically
+    already on host.  Decisions are EXACTLY the serial ones — a
+    coroutine's control flow depends only on its own received values
+    (asserted by the parity suites, which byte-compare the file bus).
+    """
+    from collections import deque
+
+    results = [None] * len(coros)
+    pending = [None] * len(coros)
+    live: "deque[int]" = deque()
+    for i, c in enumerate(coros):
+        try:
+            pending[i] = next(c)
+            _host_async(pending[i])
+            live.append(i)
+        except StopIteration as e:
+            results[i] = e.value
+    while live:
+        i = live.popleft()
+        host = [np.asarray(h) for h in pending[i]]
+        try:
+            pending[i] = coros[i].send(host)
+            _host_async(pending[i])
+            live.append(i)
+        except StopIteration as e:
+            results[i] = e.value
+    return results
+
+
 def brute_force_best(
     chrom: cost_ops.ChromosomeScorer,
     head_ids: List[int],
@@ -123,6 +180,14 @@ def brute_force_best(
     """Stage 1: exhaustive search over the largest scaffolds.
 
     Returns (order ids, orientation flags, best cost)."""
+    return _drive(_brute_force_coro(chrom, head_ids, names))
+
+
+def _brute_force_coro(
+    chrom: cost_ops.ChromosomeScorer,
+    head_ids: List[int],
+    names: Sequence[str],
+):
     sub = chrom.subset(head_ids)
     orders = perms.order_batch(len(head_ids))
     orients = perms.orient_batch(len(head_ids))
@@ -147,7 +212,9 @@ def brute_force_best(
     n_cand = len(orders) * len(orients)
     print("Initial permutations to test " + str(n_cand) + "...")
     R = len(orients)
-    cand_idx, _vals = sub.score_batch_topk(orders, orients)
+    handles, finish = sub.score_batch_topk_async(orders, orients)
+    host = yield handles
+    cand_idx, _vals = finish(host)
     winner, best = cost_ops.argmax_reference_ties_sparse(
         cand_idx,
         rescore=lambda i: sub.score_host(orders[i // R], orients[i % R]),
@@ -174,6 +241,15 @@ def order_remainder_scaffolds(
     incoming scaffold's current orientation (checkAllScores'
     flip-then-pop, orderGenome.py:344-365).
     """
+    return _drive(_greedy_coro(chrom, order_ids, orient_flags, remaining_ids))
+
+
+def _greedy_coro(
+    chrom: cost_ops.ChromosomeScorer,
+    order_ids: List[int],
+    orient_flags: List[int],
+    remaining_ids: List[int],
+):
     W = chrom.cand_width  # bucketed width: executables shared across chroms
     B_max = ((2 * (chrom.S + 1) + 15) // 16) * 16  # 2(S+1) rounded up to 16
     pad = chrom.pad_id
@@ -205,7 +281,9 @@ def order_remainder_scaffolds(
         cand_orients[row:] = cand_orients[row - 1]
 
         sub = chrom.subset(order_ids + [new])
-        costs = sub.score_pairs(cand_orders, cand_orients)[:n_cand]
+        handles, finish = sub.score_pairs_async(cand_orders, cand_orients)
+        host = yield handles
+        costs = finish(host)[:n_cand]
         # fast-precision near-zero maxima still go through f64 re-scoring
         # (the reference accepts only candidates with exact cost > 0,
         # orderGenome.py:338-341)
@@ -244,6 +322,18 @@ def scan_ordering(
     device batch; adoption is immediate and sweeps repeat until a full
     pass makes no improvement, exactly like the reference.
     """
+    return _drive(
+        _scan_coro(chrom, order_ids, orient_flags, best_cost, scan_scaffolds)
+    )
+
+
+def _scan_coro(
+    chrom: cost_ops.ChromosomeScorer,
+    order_ids: List[int],
+    orient_flags: List[int],
+    best_cost: float,
+    scan_scaffolds: int = 5,
+):
     sub = chrom.full()
     w = scan_scaffolds
     S = len(order_ids)
@@ -289,7 +379,9 @@ def scan_ordering(
         while i <= S - w:
             n_win = min(spec_depth, S - w + 1 - i)
             cand_orders, cand_orients = _window_candidates(i, n_win)
-            costs_all = sub.score_pairs(cand_orders, cand_orients)
+            handles, finish = sub.score_pairs_async(cand_orders, cand_orients)
+            host = yield handles
+            costs_all = finish(host)
             trigger = best_cost - 1e-5 * max(abs(best_cost), 1.0)
             advanced = n_win
             for k in range(n_win):
@@ -340,6 +432,17 @@ def order_chromosome(
     candidate instead of the reference\'s O(C^2) dense kernel per
     candidate.
     """
+    return _drive(
+        _order_chromosome_coro(chrom_group, ctx, n_scaffolds, scan_scaffolds)
+    )
+
+
+def _order_chromosome_coro(
+    chrom_group: Sequence[Sequence],
+    ctx: _ChromosomeContext,
+    n_scaffolds: int = 6,
+    scan_scaffolds: int = 5,
+):
     if n_scaffolds >= 9:
         print("Number of initial scaffolds to order by brute force method is set too high...")
         print(str(perms.calc_possible_perms(n_scaffolds)) + " Different permutations would need to be calculated with current setting")
@@ -361,16 +464,22 @@ def order_chromosome(
         )
     head_ids = list(range(min(n_scaffolds, len(scaffold_list))))
     tail_ids = list(range(len(head_ids), len(scaffold_list)))
+    # NB: under the interleaved scheduler these stage timers measure the
+    # coroutine's SPAN (other chromosomes' work overlaps inside it), so
+    # per-stage totals can exceed part-2 wall-clock; serial runs are
+    # unaffected.
     with profiling.timer("part2/brute_force"):
-        order_ids, orient_flags, _bf = brute_force_best(chrom, head_ids, names)
+        order_ids, orient_flags, _bf = yield from _brute_force_coro(
+            chrom, head_ids, names
+        )
     with profiling.timer("part2/greedy_insertion"):
-        order_ids, orient_flags, best_cost = order_remainder_scaffolds(
+        order_ids, orient_flags, best_cost = yield from _greedy_coro(
             chrom, order_ids, orient_flags, tail_ids
         )
     print("BestCost at the end of first two steps " + str(best_cost))
     if len(order_ids) > n_scaffolds:
         with profiling.timer("part2/sliding_window"):
-            order_ids, orient_flags, best_cost = scan_ordering(
+            order_ids, orient_flags, best_cost = yield from _scan_coro(
                 chrom, order_ids, orient_flags, best_cost, scan_scaffolds
             )
     print("Final ordering...")
@@ -406,16 +515,29 @@ def order_genome(
     start = time.time()
     ctx = _ChromosomeContext(matrix, bin_list, mesh=mesh)
     owned = set(range(len(chrom_list))) if chrom_indices is None else set(chrom_indices)
+
+    def _with_header(i, chrom_group):
+        print("#####################\n#####################")
+        print("Working on Chr_" + str(i + 1) + "...")
+        result = yield from _order_chromosome_coro(
+            chrom_group, ctx, n_scaffolds=n_scaffolds, scan_scaffolds=scan_scaffolds
+        )
+        return result
+
+    # Chromosomes are independent searches (the reference runs them
+    # serially, orderGenome.py:608-622); interleave them so their
+    # device round trips overlap (see _run_interleaved).
+    owned_order = [i for i in range(len(chrom_list)) if i in owned]
+    coros = [_with_header(i, chrom_list[i]) for i in owned_order]
+    ordered_results = _run_interleaved(coros)
+    by_index = dict(zip(owned_order, ordered_results))
+
     genome_order: List[List[Scaffold]] = []
     for i, chrom_group in enumerate(chrom_list):
         if i not in owned:
             genome_order.append(None)
             continue
-        print("#####################\n#####################")
-        print("Working on Chr_" + str(i + 1) + "...")
-        chrom_order = order_chromosome(
-            chrom_group, ctx, n_scaffolds=n_scaffolds, scan_scaffolds=scan_scaffolds
-        )
+        chrom_order = by_index[i]
         genome_order.append(chrom_order)
         if plot_chrom and save_plot_dir:
             from hic_genome_assembler_tpu.viz import plot as plot_mod

@@ -654,19 +654,39 @@ class SubsetScorer:
         between ~3M and ~200M candidate evaluations/s over a thin
         host<->device link.
         """
+        handles, finish = self.score_batch_topk_async(
+            orders, orients, k=k, chunk_orders=chunk_orders
+        )
+        return finish([np.asarray(h) for h in handles])
+
+    def score_batch_topk_async(
+        self,
+        orders: np.ndarray,
+        orients: np.ndarray,
+        k: int = 64,
+        chunk_orders: int = 20160,
+    ):
+        """Dispatch-only form of :meth:`score_batch_topk` for the
+        interleaved multi-chromosome scheduler (part2_order): returns
+        ``(handles, finish)`` where ``handles`` is a tuple of device
+        arrays (already dispatched, nothing read back) and
+        ``finish(host_arrays)`` — given ``[np.asarray(h) for h in
+        handles]`` — produces the (indices, values) result.  The caller
+        overlaps the readback with other chromosomes' work."""
         Bo, S = orders.shape
         R = orients.shape[0]
         if self.degenerate:
-            return np.arange(min(k, Bo * R)), np.zeros(min(k, Bo * R))
+            m = min(k, Bo * R)
+            return (), lambda host: (np.arange(m), np.zeros(m))
         pi, pj = np.triu_indices(S, k=1)
         e_onehot = _orient_onehot(S, orients, np.dtype(self._F_flat.dtype))
         if 2 <= S <= 8 and len(np.unique(orders[0])) == S:
-            return self._score_topk_combo(orders, orients, e_onehot, k)
+            return self._score_topk_combo_async(orders, orients, e_onehot, k)
         pi_d, pj_d = jnp.asarray(pi.astype(np.int32)), jnp.asarray(pj.astype(np.int32))
         e_d = jnp.asarray(e_onehot)
         c0_d = jnp.asarray(self.c0, dtype=self._F_flat.dtype)
-        all_idx: List[np.ndarray] = []
-        all_vals: List[np.ndarray] = []
+        handles: List[jax.Array] = []
+        meta: List[Tuple[int, int, int]] = []  # (ofs, n_real, kk)
         for ofs in range(0, Bo, chunk_orders):
             chunk = orders[ofs : ofs + chunk_orders].astype(np.int32)
             n_real = chunk.shape[0]
@@ -674,21 +694,29 @@ class SubsetScorer:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], chunk_orders - n_real, axis=0)]
                 )
-            kk = min(k, n_real * R)
             vals, idx = _block_score_topk_kernel(
                 self._F_flat, self._sizes_d, self._put_batch(chunk), e_d,
                 pi_d, pj_d, c0_d, self.C + 1, min(k, chunk.shape[0] * R),
             )
-            vals, idx = np.asarray(vals), np.asarray(idx)
-            keep = idx < n_real * R  # drop padding rows
-            all_idx.append(idx[keep][:kk] + ofs * R)
-            all_vals.append(vals[keep][:kk])
-        idx = np.concatenate(all_idx)
-        vals = np.concatenate(all_vals)
-        if len(idx) > k:
-            top = np.argsort(-vals, kind="stable")[:k]
-            idx, vals = idx[top], vals[top]
-        return idx, vals
+            handles.extend((vals, idx))
+            meta.append((ofs, n_real, min(k, n_real * R)))
+
+        def finish(host):
+            all_idx: List[np.ndarray] = []
+            all_vals: List[np.ndarray] = []
+            for h, (ofs, n_real, kk) in zip(range(0, len(host), 2), meta):
+                vals, idx = host[h], host[h + 1]
+                keep = idx < n_real * R  # drop padding rows
+                all_idx.append(idx[keep][:kk] + ofs * R)
+                all_vals.append(vals[keep][:kk])
+            idx = np.concatenate(all_idx)
+            vals = np.concatenate(all_vals)
+            if len(idx) > k:
+                top = np.argsort(-vals, kind="stable")[:k]
+                idx, vals = idx[top], vals[top]
+            return idx, vals
+
+        return tuple(handles), finish
 
     def _combo_f_indices(self, combo: dict) -> np.ndarray:
         """F_flat gather indices for every combo's 4 orientation cells:
@@ -709,15 +737,16 @@ class SubsetScorer:
         idx4 = np.where(combo["valid"][:, None], idx4, 0)
         return idx4.astype(np.int32)
 
-    def _score_topk_combo(
+    def _score_topk_combo_async(
         self, orders: np.ndarray, orients: np.ndarray, e_onehot: np.ndarray, k: int
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    ):
         """Brute-force top-k via the combo factorization: the
         candidate->combo map (pure combinatorics) is computed once per
         enumeration batch and its device copy reused across every
         chromosome; per subset only the tiny (n_combo, 4) F gather
         changes.  Candidate index = order-major, orientation-fastest —
-        identical to the chunked path and the reference enumeration."""
+        identical to the chunked path and the reference enumeration.
+        Returns (handles, finish) — see score_batch_topk_async."""
         Bo, S = orders.shape
         R = orients.shape[0]
         P = S * (S - 1) // 2
@@ -739,7 +768,7 @@ class SubsetScorer:
         cid_dev = combo[ck]
         n_pad = cid_dev.shape[0]
         kk = min(k, Bo * R)
-        vals, idx = _combo_score_topk_kernel(
+        vals_d, idx_d = _combo_score_topk_kernel(
             self._F_flat,
             jnp.asarray(idx4),
             cid_dev,
@@ -747,13 +776,17 @@ class SubsetScorer:
             jnp.asarray(self.c0, dtype=self._F_flat.dtype),
             min(k, n_pad * R),
         )
-        vals, idx = np.asarray(vals), np.asarray(idx)
-        keep = idx < Bo * R  # drop mesh-padding rows
-        idx, vals = idx[keep], vals[keep]
-        if len(idx) > kk:
-            top = np.argsort(-vals, kind="stable")[:kk]
-            idx, vals = idx[top], vals[top]
-        return idx, vals
+
+        def finish(host):
+            vals, idx = host[0], host[1]
+            keep = idx < Bo * R  # drop mesh-padding rows
+            idx, vals = idx[keep], vals[keep]
+            if len(idx) > kk:
+                top = np.argsort(-vals, kind="stable")[:kk]
+                idx, vals = idx[top], vals[top]
+            return idx, vals
+
+        return (vals_d, idx_d), finish
 
     def _put_batch(self, chunk: np.ndarray):
         if self._mesh is None:
@@ -772,9 +805,16 @@ class SubsetScorer:
         ``orients[b, k]`` (0 = "+").  Used by greedy insertion where
         slot and orientation are coupled per candidate.
         """
+        handles, finish = self.score_pairs_async(orders, orients)
+        return finish([np.asarray(h) for h in handles])
+
+    def score_pairs_async(self, orders: np.ndarray, orients: np.ndarray):
+        """Dispatch-only form of :meth:`score_pairs`: returns
+        ``(handles, finish)`` (see score_batch_topk_async) so the
+        readback can overlap other chromosomes' searches."""
         B, W = orders.shape
         if self.degenerate:
-            return np.zeros(B, dtype=np.float64)
+            return (), lambda host: np.zeros(B, dtype=np.float64)
         pi, pj = np.triu_indices(W, k=1)
         out = _pair_score_kernel(
             self._F_flat,
@@ -786,7 +826,7 @@ class SubsetScorer:
             jnp.asarray(self.c0, dtype=self._F_flat.dtype),
             self.C + 1,
         )
-        return np.asarray(out, dtype=np.float64)[:B]
+        return (out,), lambda host: np.asarray(host[0], dtype=np.float64)[:B]
 
     def score_host(self, order: Sequence[int], orient: Sequence[int]) -> float:
         """Reference-exact f64 cost for one (order, orientation); pad

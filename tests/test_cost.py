@@ -177,12 +177,13 @@ def test_combo_topk_matches_block_scores():
         orders = perms.order_batch(S)
         orients = perms.orient_batch(S)
         full = sc.score_batch(orders, orients)  # chunked dense path
-        idx, vals = sc._score_topk_combo(
+        handles, finish = sc._score_topk_combo_async(
             orders,
             orients,
             _e_onehot(orders.shape[1], orients, np.float64),
             k=16,
         )
+        idx, vals = finish([np.asarray(h) for h in handles])
         np.testing.assert_allclose(vals, full[idx], rtol=1e-12)
         assert int(np.argmax(full)) in set(idx.tolist())
 
