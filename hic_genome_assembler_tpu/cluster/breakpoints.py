@@ -113,7 +113,6 @@ class RankCounts:
 
             from hic_genome_assembler_tpu.parallel import mesh as pm
 
-            host = np.asarray(rank_mat, dtype=np.int32)
             # square pad to a multiple of lcm(data, model): the kernels'
             # row/col masks assume a square matrix.  Zero padding is
             # inert — pad COLUMNS are excluded by the prefix masks
@@ -123,8 +122,16 @@ class RankCounts:
                 self.n,
                 math.lcm(mesh.shape[pm.DATA_AXIS], mesh.shape[pm.MODEL_AXIS]),
             )
-            padded = np.zeros((t, t), dtype=np.int32)
-            padded[: self.n, : self.n] = host
+            if isinstance(rank_mat, np.ndarray):
+                padded = np.zeros((t, t), dtype=np.int32)
+                padded[: self.n, : self.n] = rank_mat
+            else:
+                # already on device (matrixMode=device): reshard without
+                # a host round trip
+                padded = jnp.pad(
+                    jnp.asarray(rank_mat, dtype=jnp.int32),
+                    ((0, t - self.n), (0, t - self.n)),
+                )
             self._dev = jax.device_put(padded, pm.matrix_sharding(mesh))
             self._use_pallas = False  # Pallas kernels are single-device
         else:

@@ -258,11 +258,28 @@ def run_pipeline(
 
             from hic_genome_assembler_tpu.ops import matrix as dev
 
-            adj_d = jnp.asarray(adj.astype(np.float32))
-            sim_d = dev.to_similarity(adj_d, jnp.asarray(row_sums, dtype=adj_d.dtype))
-            rank_mat = dev.rank_matrix_desc(sim_d)
+            n_bins = adj.shape[0]
+            if mesh is not None:
+                # TP: row blocks over every device — similarity, rank
+                # argsort and log transform are per-row independent, so
+                # XLA runs them collective-free with all chips busy
+                # (replacing the serial O(N^2) transforms,
+                # scaffoldToChromosomes.py:138-183,1132)
+                from hic_genome_assembler_tpu.parallel import mesh as pm
+
+                adj_d, _ = pm.put_rows_padded(mesh, adj.astype(np.float32))
+                rs_d, _ = pm.put_vector_padded(
+                    mesh, row_sums.astype(np.float32)
+                )
+            else:
+                adj_d = jnp.asarray(adj.astype(np.float32))
+                rs_d = jnp.asarray(row_sums, dtype=adj_d.dtype)
+            sim_d = dev.to_similarity(adj_d, rs_d)
+            rank_mat = dev.rank_matrix_desc(sim_d)[:n_bins, :n_bins]
             counts = breakpoints.RankCounts(rank_mat, mesh=mesh)
-            adj_log_d = dev.log_transform(sim_d, log_base=10, plus_one=True)
+            adj_log_d = dev.log_transform(sim_d, log_base=10, plus_one=True)[
+                :n_bins, :n_bins
+            ]
         else:
             adj = oracle.to_similarity(adj, row_sums)
             rank_mat = oracle.rank_matrix_desc(adj)

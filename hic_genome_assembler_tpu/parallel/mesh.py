@@ -58,6 +58,49 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def row_sharding_all(mesh: Mesh) -> NamedSharding:
+    """Row blocks over EVERY device (data x model flattened): the
+    sharding for per-row transforms whose row work is independent
+    (similarity, log transform, per-row argsort) — no collectives, all
+    chips busy."""
+    return NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None))
+
+
+def put_rows_padded(mesh: Mesh, matrix) -> Tuple[jax.Array, int]:
+    """Zero-pad the row axis to divide the full device count and place
+    the matrix row-sharded over every device (``row_sharding_all``).
+    Returns (array, original_n); pad rows produce garbage in row-wise
+    transforms, which callers slice off with ``[:n]``."""
+    import jax.numpy as jnp
+    import numpy as _np
+
+    arr = _np.asarray(matrix)
+    n = arr.shape[0]
+    rows = pad_to_multiple(n, mesh.devices.size)
+    if rows != n:
+        arr = _np.concatenate(
+            [arr, _np.zeros((rows - n,) + arr.shape[1:], dtype=arr.dtype)]
+        )
+    return jax.device_put(jnp.asarray(arr), row_sharding_all(mesh)), n
+
+
+def put_vector_padded(mesh: Mesh, vec) -> Tuple[jax.Array, int]:
+    """Companion to :func:`put_rows_padded` for per-row vectors (e.g.
+    rowSums): same pad + the same flattened-device sharding."""
+    import jax.numpy as jnp
+    import numpy as _np
+
+    arr = _np.asarray(vec)
+    n = arr.shape[0]
+    rows = pad_to_multiple(n, mesh.devices.size)
+    if rows != n:
+        arr = _np.concatenate([arr, _np.zeros(rows - n, dtype=arr.dtype)])
+    return (
+        jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))),
+        n,
+    )
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

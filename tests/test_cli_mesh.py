@@ -158,3 +158,33 @@ def test_part1_device_matrix_mode_recovers_groups(cli_genome, tmp_path):
     got = sorted(sorted({name for _b, name in grp}) for grp in groups)
     want = sorted(sorted(names) for names in cli_genome.true_groups().values())
     assert got == want
+
+
+def test_part1_device_mode_mesh_matches_local(cli_genome, tmp_path):
+    """matrixMode=device under a mesh (TP row-sharded transforms +
+    2-D sharded count kernels) produces the byte-identical file bus to
+    the mesh-less device run — elementwise f32 transforms and stable
+    per-row argsort are sharding-invariant, counts are integers."""
+    from hic_genome_assembler_tpu.models import part1_cluster
+    from hic_genome_assembler_tpu.parallel import mesh as pm
+
+    paths = fixtures.write_hicpro_files(cli_genome, str(tmp_path / "data"))
+    buses = {}
+    for tag, use_mesh in (("mesh", pm.make_mesh((4, 2))), ("local", None)):
+        out = tmp_path / tag
+        out.mkdir()
+        f = lambda name, out=out: str(out / name)
+        part1_cluster.run_pipeline(
+            paths["bed"], paths["bias"], paths["matrix"], paths["sizes"],
+            f("dendro.txt"), "", "", f("bingroups.txt"), f("assessment.txt"),
+            f("chromgroups.txt"),
+            hyper_geom=True, hmm=False, min_size=5, modularity=0,
+            louvain_rounds=3, psig=0.05, convergence_rounds=5, look_ahead=0.2,
+            resolution=cli_genome.resolution,
+            mesh=use_mesh, matrix_mode="device",
+        )
+        buses[tag] = {
+            name: (out / name).read_bytes()
+            for name in ("dendro.txt", "bingroups.txt", "chromgroups.txt")
+        }
+    assert buses["mesh"] == buses["local"]
