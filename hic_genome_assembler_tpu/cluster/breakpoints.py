@@ -9,9 +9,14 @@ moved onto device:
   (ops.matrix.growing_window_counts) instead of N python loops;
 * the cut-noise filter's fixed-window counts (:622-636) likewise
   (ops.matrix.fixed_window_counts);
-* p-values stay exact: counts come back to host and go through
-  scipy.stats.hypergeom.sf vectorized — identical to the reference's
-  per-element sf calls.
+* p-value DECISIONS (always ``sf < psig`` — no p-value is ever consumed
+  as a number) run through ops.hypergeom.ge_significant: an exact f64
+  log-gamma-anchored pmf-window evaluator with rigorous Chernoff-KL
+  shortcuts, decision-identical to scipy by construction (near-ties are
+  re-arbitrated by scipy itself) at ~20x the speed of the full
+  scipy.stats.hypergeom.sf sweeps that dominated part-1 at 16K
+  (62.7 s -> ~3 s, BENCHMARKS.md round 3).  The scalar second-level
+  tests keep calling scipy directly.
 
 Preserved quirks (SURVEY.md §7): the aggressive pass hardcodes psig=.05
 regardless of config (:535); the noise filter's GLOBAL_MAX_ROUNDS
@@ -27,6 +32,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 import scipy.stats
+
+from hic_genome_assembler_tpu.ops import hypergeom
 
 
 def hyper_geom_sf(x, M, n, N) -> np.ndarray:
@@ -276,9 +283,9 @@ def find_matrix_pvalue_breakpoints(
         while True:
             rows = np.arange(start + 1, n)
             curr = rows - start
-            pvals = hyper_geom_sf(row_counts[rows], M, curr, curr)
+            sig = hypergeom.ge_significant(row_counts[rows], M, curr, curr, psig)
             # dist_sigs[0] = 0 sentinel, then one flag per row
-            dist_sigs = np.concatenate([[0], (pvals < psig).astype(np.int64)])
+            dist_sigs = np.concatenate([[0], sig.astype(np.int64)])
             loop_count += 1
             if dist_sigs.sum() / len(dist_sigs) >= 0.9:
                 prev_M = M
@@ -385,9 +392,11 @@ def filter_noisy_breakpoints(
                 # row significance flags for this (start, c) window
                 row_counts = counts.fixed(start, c)
                 rows = np.arange(n)
-                pv = hyper_geom_sf(row_counts, M, local_size, local_size)
+                sig = hypergeom.ge_significant(
+                    row_counts, M, local_size, local_size, psig
+                )
                 sig_flags = np.where(
-                    (rows - start) > MD, 0, (pv < psig).astype(np.int64)
+                    (rows - start) > MD, 0, sig.astype(np.int64)
                 )
 
                 right_most = None
