@@ -1,12 +1,13 @@
 """UPGMA clustering + dendrogram leaf order.
 
-The distance matrix is produced on device (ops.matrix.to_distance); the
-linkage itself is O(N^2) scalar-sequential with scipy-specific merge
-bookkeeping that the grouping-parity target requires bit-identically
-(SURVEY.md §7 "hard parts"), so linkage and leaf ordering run through
-scipy's C implementation on the device-computed distances — exactly the
-calls the reference makes (averageClusterNodes,
-scaffoldToChromosomes.py:187-208).
+The distance transform feeding this lives in ops.oracle.to_distance
+(host f64, the default "exact" parity mode) or ops.matrix.to_distance
+(device, matrixMode=device); the linkage itself is O(N^2)
+scalar-sequential with scipy-specific merge bookkeeping that the
+grouping-parity target requires bit-identically (SURVEY.md §7 "hard
+parts"), so linkage and leaf ordering run through scipy's C
+implementation on the precomputed distances — exactly the calls the
+reference makes (averageClusterNodes, scaffoldToChromosomes.py:187-208).
 """
 
 from __future__ import annotations

@@ -29,17 +29,28 @@ def read_fasta(path: str) -> Dict[str, str]:
     Bulk parse: one read, split on entry boundaries, newline-strip per
     entry.  Same semantics as the reference's line loop for well-formed
     FASTA: name = full header line after ">", sequence = concatenation
-    of its lines (blank lines and \\r vanish with the newline strip),
-    duplicate names keep the LAST entry.
+    of its lines, duplicate names keep the LAST entry.  Malformed-input
+    behavior mirrors the reference where it matters: content before the
+    first header raises (the reference's line loop dies on an undefined
+    ``chrName``, writeAssembledFasta.py:22-25).  ``\\r`` handling is the
+    reference's: text mode reads with universal newlines, so lone or
+    paired ``\\r`` act as line breaks in both implementations.  Sole
+    documented relaxation: blank lines are skipped rather than raising
+    IndexError.
     """
     opener = gzip.open if ".gz" in path else open
     with opener(path, mode="rt") as handle:
+        # text mode == universal newlines: \r\n and lone \r arrive as \n,
+        # exactly as the reference's line loop sees them
         data = handle.read()
-    data = data.replace("\r", "")
     seqs: Dict[str, str] = {}
+    if not data:
+        return seqs
     start = data.find(">")
     if start == -1:
-        return seqs
+        raise ValueError(f"{path}: no FASTA headers found")
+    if data[:start].strip():
+        raise ValueError(f"{path}: FASTA content before the first '>' header")
     for entry in data[start + 1 :].split("\n>"):
         nl = entry.find("\n")
         if nl == -1:

@@ -140,24 +140,48 @@ def build_adjacency_matrix(
     return adjacency
 
 
-def remove_zero_rows(
+def remove_rows(
     matrix: np.ndarray,
     bin_list: List[Bin],
+    zero_rows: bool = True,
+    bias_vals=False,
 ) -> "tuple[np.ndarray, List[Bin]]":
-    """Drop rows/cols whose row sum is exactly zero; sync bin_list.
+    """Row/col pruning with both reference filters
+    (removeRows, scaffoldToChromosomes.py:100-136).
 
-    Also fills each surviving Bin's ``rowSum`` with its row sum in the
-    *pruned* matrix, as the reference does after deletion
-    (scaffoldToChromosomes.py:100-136).
+    ``zero_rows``: drop rows/cols whose row sum is exactly zero.
+    ``bias_vals``: optional (lo, hi) — additionally drop rows whose
+    Bin.bias falls OUTSIDE lo < bias < hi (strict inequalities,
+    scaffoldToChromosomes.py:118-120; a row already removed as
+    zero-sum is not re-tested, per the reference's ``continue``).
+
+    Fills each surviving Bin's ``rowSum`` with its row sum in the
+    *pruned* matrix, as the reference does after deletion (:135).
     """
     row_sums = matrix.sum(axis=1)
-    keep = row_sums != 0.0
-    print("Rows/columns to remove " + str(int((~keep).sum())))
+    remove = np.zeros(len(bin_list), dtype=bool)
+    if zero_rows:
+        remove |= row_sums == 0.0
+    if bias_vals is not False and bias_vals is not None:
+        lo, hi = bias_vals
+        bias = np.asarray([b.bias for b in bin_list], dtype=np.float64)
+        remove |= ~remove & ((bias > hi) | (bias < lo))
+    keep = ~remove
+    print("Rows/columns to remove " + str(int(remove.sum())))
     pruned = matrix[np.ix_(keep, keep)]
     kept_bins = [b for b, k in zip(bin_list, keep) if k]
     for b, s in zip(kept_bins, pruned.sum(axis=1)):
         b.rowSum = float(s)
     return pruned, kept_bins
+
+
+def remove_zero_rows(
+    matrix: np.ndarray,
+    bin_list: List[Bin],
+) -> "tuple[np.ndarray, List[Bin]]":
+    """Zero-sum pruning only — the pipeline's default call shape
+    (scaffoldToChromosomes.py:1117)."""
+    return remove_rows(matrix, bin_list, zero_rows=True, bias_vals=False)
 
 
 def read_size_file_to_dict(size_file: str) -> Dict[str, int]:

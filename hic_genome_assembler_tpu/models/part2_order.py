@@ -135,7 +135,7 @@ def _host_async(handles) -> None:
             copy()
 
 
-def _run_interleaved(coros: List) -> List:
+def _run_interleaved(coros: List, max_live: int = None) -> List:
     """Round-robin scheduler for independent search coroutines.
 
     Each chromosome's search is a sequential chain of small device
@@ -147,19 +147,37 @@ def _run_interleaved(coros: List) -> List:
     already on host.  Decisions are EXACTLY the serial ones — a
     coroutine's control flow depends only on its own received values
     (asserted by the parity suites, which byte-compare the file bus).
+
+    At most ``max_live`` chromosomes are in flight at once (default 6,
+    env HIC_INTERLEAVE_WINDOW): each live search keeps its pair table +
+    candidate batches device-resident, so an unbounded window would make
+    peak HBM scale with chromosome count, while latency hiding only
+    needs a few in flight.  A chromosome's coroutine (and its first
+    device allocation) starts only when a slot frees.
     """
+    import os
     from collections import deque
 
+    if max_live is None:
+        max_live = max(1, int(os.environ.get("HIC_INTERLEAVE_WINDOW", "6")))
     results = [None] * len(coros)
     pending = [None] * len(coros)
     live: "deque[int]" = deque()
-    for i, c in enumerate(coros):
-        try:
-            pending[i] = next(c)
-            _host_async(pending[i])
-            live.append(i)
-        except StopIteration as e:
-            results[i] = e.value
+    next_up = 0
+
+    def _fill():
+        nonlocal next_up
+        while next_up < len(coros) and len(live) < max_live:
+            i = next_up
+            next_up += 1
+            try:
+                pending[i] = next(coros[i])
+                _host_async(pending[i])
+                live.append(i)
+            except StopIteration as e:
+                results[i] = e.value
+
+    _fill()
     while live:
         i = live.popleft()
         host = [np.asarray(h) for h in pending[i]]
@@ -169,6 +187,7 @@ def _run_interleaved(coros: List) -> List:
             live.append(i)
         except StopIteration as e:
             results[i] = e.value
+            _fill()
     return results
 
 
@@ -648,7 +667,31 @@ def run_pipeline(
 
     chrom_indices = None
     if process_count > 1:
+        import os
+
         from hic_genome_assembler_tpu.parallel import distributed
+
+        # Stale-shard guard: shard files from a previous run in the same
+        # directory would satisfy the merge barrier immediately and get
+        # merged as this run's output.  Every rank removes its OWN shard
+        # before searching (covers reruns where all ranks launch); rank 0
+        # additionally clears shard paths that predate this run (covers a
+        # rank that never launches), keeping anything written within 60 s
+        # of now so a co-launched rank's fresh shard survives FS clock
+        # skew.
+        try:
+            os.remove(chromosome_order_file + f".shard{process_index}")
+        except FileNotFoundError:
+            pass
+        if process_index == 0:
+            cutoff = time.time() - 60.0
+            for p in range(1, process_count):
+                path = chromosome_order_file + f".shard{p}"
+                try:
+                    if os.path.getmtime(path) < cutoff:
+                        os.remove(path)
+                except OSError:
+                    pass
 
         chrom_indices = distributed.shard_chromosomes(
             len(chrom_list), process_index, process_count

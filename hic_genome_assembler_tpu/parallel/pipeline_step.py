@@ -15,6 +15,13 @@ NamedShardings over a (data, model) mesh —
 XLA materializes the psum/all-gather pattern from the sharding
 annotations (the scaling-book recipe); nothing here hand-schedules
 collectives.
+
+Consumers: the driver-run multi-chip dryrun (__graft_entry__.
+dryrun_multichip step 3) executes this on every round's virtual mesh;
+tests/test_multichip.py asserts its shardings.  The production pipeline
+itself composes the same kernels stage-by-stage (the searches are
+host-driven loops), so this module is the one-jit composition proof,
+not a third code path.
 """
 
 from __future__ import annotations

@@ -87,7 +87,14 @@ def bring_up(mesh_spec: Optional[str] = None) -> RuntimeContext:
 
     from hic_genome_assembler_tpu.parallel import mesh as pm
 
-    devices = jax.devices()
+    # Multi-process runs shard work at the chromosome level (part-2 EP):
+    # each process issues DIFFERENT jitted computations, which is only
+    # sound on a mesh of devices this process owns.  jax.devices() is
+    # GLOBAL on a multi-host pod — a cross-host mesh would have every
+    # process device_put-ing to non-addressable devices and deadlocking
+    # on divergent collectives.  EP therefore composes with a PER-HOST
+    # mesh only (DP/TP inside the host, EP across hosts).
+    devices = jax.local_devices() if process_count > 1 else jax.devices()
     if spec == "auto":
         if len(devices) <= 1:
             return RuntimeContext(None, process_index, process_count)

@@ -1,0 +1,117 @@
+"""Part-2 EP with REAL separate processes (VERDICT r2 item 5).
+
+Two OS processes run part2.run_pipeline over a shared directory with
+process_count=2 — the file bus is the barrier (no jax.distributed
+needed), exactly how a 2-host launch composes (the parallelization of
+the reference's serial chromosome loop, orderGenome.py:608-622).  The
+merged order file must equal the single-process run's bytes.
+
+Also covers the stale-shard guard: pre-existing shard files from a
+"previous run" must not leak into the merge.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+from hic_genome_assembler_tpu.models import part1_cluster, part2_order
+from hic_genome_assembler_tpu.utils import fixtures
+
+_RANK_SCRIPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+from hic_genome_assembler_tpu.models import part2_order
+part2_order.run_pipeline(
+    {bed!r}, {bias!r}, {matrix!r},
+    {groups!r}, {order!r}, "", "", "", "ep", {plot!r},
+    n_scaffolds=3, scan_scaffolds=2, resolution={resolution},
+    mesh=None, process_index={rank}, process_count=2, shard_wait_s=300.0,
+)
+"""
+
+
+@pytest.fixture(scope="module")
+def ep_setup(tmp_path_factory):
+    work = tmp_path_factory.mktemp("ep")
+    g = fixtures.make_genome(
+        chrom_scaffold_bins=((6, 5, 4), (5, 4, 3), (4, 3, 2)), seed=23
+    )
+    paths = fixtures.write_hicpro_files(g, str(work / "data"))
+    out = work / "single"
+    out.mkdir()
+    f = lambda name: str(out / name)
+    part1_cluster.run_pipeline(
+        paths["bed"], paths["bias"], paths["matrix"], paths["sizes"],
+        f("dendro.txt"), "", "", f("bingroups.txt"),
+        f("assessment.txt"), f("chromgroups.txt"),
+        hyper_geom=True, hmm=False, min_size=5, modularity=0,
+        louvain_rounds=3, psig=0.05, convergence_rounds=5,
+        look_ahead=0.2, resolution=g.resolution,
+    )
+    part2_order.run_pipeline(
+        paths["bed"], paths["bias"], paths["matrix"],
+        f("chromgroups.txt"), f("chromorder.txt"), "", "", "", "ep",
+        f("plotorder.txt"),
+        n_scaffolds=3, scan_scaffolds=2, resolution=g.resolution,
+    )
+    return g, paths, str(work), open(f("chromorder.txt"), "rb").read()
+
+
+def _launch_ranks(g, paths, out):
+    os.makedirs(out, exist_ok=True)
+    groups = os.path.join(os.path.dirname(out), "single", "chromgroups.txt")
+    order = os.path.join(out, "chromorder.txt")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for rank in (0, 1):
+        script = _RANK_SCRIPT.format(
+            repo=repo,
+            bed=paths["bed"], bias=paths["bias"], matrix=paths["matrix"],
+            groups=groups, order=order, plot=os.path.join(out, "plotorder.txt"),
+            resolution=g.resolution, rank=rank,
+        )
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # plain single-device CPU children
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", script],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            )
+        )
+    logs = []
+    for p in procs:
+        out_bytes, _ = p.communicate(timeout=600)
+        logs.append(out_bytes.decode(errors="replace"))
+        assert p.returncode == 0, f"rank failed:\n{out_bytes.decode(errors='replace')}"
+    return order, logs
+
+
+def test_two_real_processes_merge_equals_single(ep_setup):
+    g, paths, work, single_bytes = ep_setup
+    order, _logs = _launch_ranks(g, paths, os.path.join(work, "mp"))
+    assert open(order, "rb").read() == single_bytes
+
+
+def test_stale_shards_do_not_poison_merge(ep_setup):
+    g, paths, work, single_bytes = ep_setup
+    out = os.path.join(work, "mp_stale")
+    os.makedirs(out, exist_ok=True)
+    order = os.path.join(out, "chromorder.txt")
+    # plant stale shards from a "previous run" (old mtimes), with
+    # garbage content that would corrupt the merge if accepted
+    for p in (0, 1):
+        path = order + f".shard{p}"
+        with open(path, "w") as fh:
+            fh.write("### Chromosome group 1 ###\nSTALE_SCAFFOLD\t+\n")
+        old = time.time() - 3600
+        os.utime(path, (old, old))
+    order, _logs = _launch_ranks(g, paths, out)
+    merged = open(order, "rb").read()
+    assert b"STALE_SCAFFOLD" not in merged
+    assert merged == single_bytes

@@ -51,6 +51,53 @@ def test_remove_zero_rows():
     assert kept[0].rowSum == 3.0  # row sum AFTER pruning
 
 
+def test_remove_rows_bias_filter():
+    """removeRows biasVals semantics (scaffoldToChromosomes.py:105-120):
+    strict inequalities, zero-sum rows skip the bias test, rowSum
+    recomputed after deletion."""
+    m = np.array(
+        [
+            [1.0, 0.0, 2.0, 1.0],
+            [0.0, 0.0, 0.0, 0.0],  # zero row (bias also out of range)
+            [2.0, 0.0, 1.0, 1.0],
+            [1.0, 0.0, 1.0, 1.0],
+        ]
+    )
+    biases = [0.5, 9.0, 2.0, 1.0]  # hi-bound exclusion is strict: keep == 2.0?
+    bins = [hicpro.Bin(i, f"s{i}", 0, 10, biases[i]) for i in range(4)]
+    # lo=0.6, hi=2.0: bias 0.5 < lo -> drop; 2.0 is NOT > hi -> keep
+    pruned, kept = hicpro.remove_rows(m, bins, zero_rows=True, bias_vals=(0.6, 2.0))
+    assert [b.ID for b in kept] == [2, 3]
+    assert pruned.shape == (2, 2)
+    assert kept[0].rowSum == 2.0  # row sums AFTER pruning
+    assert kept[1].rowSum == 2.0
+
+    # boundary strictness on the low side too
+    bins2 = [hicpro.Bin(i, f"s{i}", 0, 10, b) for i, b in enumerate(biases)]
+    _, kept2 = hicpro.remove_rows(
+        np.ones((4, 4)), bins2, zero_rows=False, bias_vals=(0.5, 2.0)
+    )
+    assert [b.ID for b in kept2] == [0, 2, 3]  # bias == lo survives (strict <)
+
+
+def test_read_fasta_rejects_leading_content(tmp_path):
+    bad = tmp_path / "bad.fa"
+    bad.write_text("ACGT\n>seq1\nACGT\n")
+    try:
+        fasta.read_fasta(str(bad))
+        raise AssertionError("expected ValueError on pre-header content")
+    except ValueError:
+        pass
+    # whitespace-only prefix is tolerated (reference would IndexError on
+    # the blank line; documented relaxation)
+    ok = tmp_path / "ok.fa"
+    ok.write_text("\n>seq1\nAC\rGT\n")
+    seqs = fasta.read_fasta(str(ok))
+    # text-mode universal newlines turn the lone \r into a line break —
+    # for the reference's line loop too, so both yield "ACGT"
+    assert seqs == {"seq1": "ACGT"}
+
+
 def test_bin_groupings_roundtrip(tmp_path):
     bins = [hicpro.Bin(i, f"scaf{i % 2}", i * 10, i * 10 + 10, 1.5) for i in range(6)]
     out = tmp_path / "groups.txt"
