@@ -67,7 +67,7 @@ def bench_tpu(m, sizes, orders, orients, chunk=20160):
     start = time.time()
     # include table build
     scorer = cost.BlockScorer(m, sizes, dtype=np.float32, device_sub=m_dev)
-    idx, vals = scorer.score_batch_topk(orders, orients, chunk_orders=chunk)
+    idx, vals, _floor = scorer.score_batch_topk(orders, orients, chunk_orders=chunk)
     elapsed = time.time() - start
     n_cand = len(orders) * len(orients)
     best = int(idx[int(np.argmax(vals))])

@@ -385,7 +385,7 @@ def config3() -> None:
     scorer.score_batch_topk(orders, orients)
     start = time.time()
     scorer = cost.BlockScorer(m, sizes, dtype=np.float32, device_sub=m_dev)
-    idx, vals = scorer.score_batch_topk(orders, orients)
+    idx, vals, _floor = scorer.score_batch_topk(orders, orients)
     wall = time.time() - start
 
     from hic_genome_assembler_tpu.utils import profiling
@@ -403,7 +403,7 @@ def config3() -> None:
         sc.score_batch_topk(orders, orients)
         start = time.time()
         sc = cost.BlockScorer(m, sizes, dtype=np.float32, device_sub=m_dev, mesh=mesh)
-        idx2, _ = sc.score_batch_topk(orders, orients)
+        idx2, _, _floor2 = sc.score_batch_topk(orders, orients)
         wall_dp = time.time() - start
         metrics["dp_mesh_wall_s"] = round(wall_dp, 3)
         metrics["dp_mesh_evals_per_s"] = round(n_cand / wall_dp, 0)

@@ -233,11 +233,13 @@ def _brute_force_coro(
     R = len(orients)
     handles, finish = sub.score_batch_topk_async(orders, orients)
     host = yield handles
-    cand_idx, _vals = finish(host)
+    cand_idx, _vals, floor = finish(host)
     winner, best = cost_ops.argmax_reference_ties_sparse(
         cand_idx,
         rescore=lambda i: sub.score_host(orders[i // R], orients[i % R]),
         fast_vals=_vals,
+        second_floor=floor,
+        escalate=lambda: sub.score_batch(orders, orients),
     )
     return list(map(int, orders[winner // R])), list(map(int, orients[winner % R])), best
 
@@ -306,8 +308,18 @@ def _greedy_coro(
         # fast-precision near-zero maxima still go through f64 re-scoring
         # (the reference accepts only candidates with exact cost > 0,
         # orderGenome.py:338-341)
-        near = 1e-6 * max(float(np.abs(costs).max()), 1.0)
-        if sub.degenerate or costs.max() <= -near:
+        scale = max(float(np.abs(costs).max()), 1.0)
+        near = 1e-6 * scale
+        cmax = float(costs.max()) if len(costs) else 0.0
+        skip = sub.degenerate or cmax <= -cost_ops._F32_MARGIN * scale
+        if not skip and cmax <= -near:
+            # gray zone between the cheap skip band and the hard f32
+            # error budget: confirm in f64 that nothing is positive
+            ci = int(np.argmax(costs))
+            ex = sub.score_host(cand_orders[ci], cand_orients[ci])
+            cost_ops.PRECISION.observe(cmax, ex)
+            skip = ex <= 0.0
+        if skip:
             slot, orientation = 0, 0
             best_cost = 0.0
         else:
@@ -390,6 +402,13 @@ def _scan_coro(
             cand_orients[blk, i : i + w] = np.tile(orients_w, (len(orders_w), 1))
         return cand_orders, cand_orients
 
+    # f64 re-score cache keyed by the candidate's FULL ordering: the
+    # identity candidate (current ordering, always present in every
+    # window's batch and always at/near the fast max once converged)
+    # costs a dict lookup instead of an O(C^2) host re-score, and
+    # near-ties re-examined on every sweep are re-scored once.
+    f64_cache: dict = {(tuple(order_ids), tuple(map(int, orient_flags))): best_cost}
+
     round_number = 0
     while True:
         improved = False
@@ -401,11 +420,13 @@ def _scan_coro(
             handles, finish = sub.score_pairs_async(cand_orders, cand_orients)
             host = yield handles
             costs_all = finish(host)
-            trigger = best_cost - 1e-5 * max(abs(best_cost), 1.0)
+            scale = max(abs(best_cost), 1.0)
+            trigger = best_cost - 1e-5 * scale
+            guard = best_cost - cost_ops._F32_MARGIN * scale
             advanced = n_win
             for k in range(n_win):
                 costs = costs_all[k * B_w : (k + 1) * B_w]
-                if sub.degenerate or costs.max() <= trigger:
+                if sub.degenerate:
                     continue
                 iw = i + k
 
@@ -415,7 +436,26 @@ def _scan_coro(
                     full_r = list(orient_flags)
                     full_o[iw : iw + w] = [order_ids[iw + kk] for kk in o]
                     full_r[iw : iw + w] = list(map(int, r))
-                    return sub.score_host(full_o, full_r)
+                    key = (tuple(full_o), tuple(full_r))
+                    if key not in f64_cache:
+                        f64_cache[key] = sub.score_host(full_o, full_r)
+                    return f64_cache[key]
+
+                cmax = float(costs.max())
+                if cmax <= trigger:
+                    if cmax > guard:
+                        # gray zone between the skip trigger and the f32
+                        # error budget: confirm the skip in f64
+                        ci = int(np.argmax(costs))
+                        ex = _rescore(ci)
+                        cost_ops.PRECISION.observe(cmax, ex)
+                        if ex <= best_cost:
+                            continue
+                        # fast precision erred past the trigger — fall
+                        # through to the exact decision (observe() above
+                        # has already flagged the violation)
+                    else:
+                        continue
 
                 winner, exact = cost_ops.argmax_reference_ties(costs, rescore=_rescore)
                 if exact > best_cost:

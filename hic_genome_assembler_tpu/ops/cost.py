@@ -196,7 +196,8 @@ def _profiles_to_table(h, wpad, shift, C):
     # Wm[m, delta] = wpad[delta + m - shift] (0 outside [1, C-1])
     darg = jnp.arange(C + 1)[None, :] + (jnp.arange(L) - shift)[:, None]
     Wm = jnp.where((darg >= 1) & (darg <= C - 1), wpad[jnp.clip(darg, 0, C)], 0.0)
-    return jnp.dot(h, Wm, preferred_element_type=h.dtype)
+    return jnp.dot(h, Wm, preferred_element_type=h.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("Cp1",))
@@ -225,7 +226,8 @@ def _block_score_kernel(
     idx = (pair_base[:, :, None] + jnp.arange(4, dtype=orders.dtype)) * Cp1 \
         + delta[:, :, None]                              # [Bo, P, 4]
     f_vals = F_flat[idx].reshape(Bo, P * 4)
-    return jnp.dot(f_vals, e_onehot, preferred_element_type=f_vals.dtype) + c0
+    return jnp.dot(f_vals, e_onehot, preferred_element_type=f_vals.dtype,
+                   precision=jax.lax.Precision.HIGHEST) + c0
 
 
 @functools.partial(jax.jit, static_argnames=("Cp1", "k"))
@@ -247,6 +249,14 @@ def _block_score_topk_kernel(F_flat, sizes, orders, e_onehot, pi, pj, c0, Cp1, k
 
 
 def _group_argmax(flat: jnp.ndarray, k: int):
+    """Per-group (max, argmax, second-max).
+
+    The second-max vector is the escalation witness: every candidate the
+    selection DROPS inside group g has a fast score < second[g], so
+    ``max(second)`` is a hard upper bound on any dropped candidate's
+    fast score.  The host decision rule escalates to full scoring only
+    when that bound could still beat the exact winner (see
+    ``argmax_reference_ties_sparse``)."""
     n = flat.shape[0]
     pad = (-n) % k
     if pad:
@@ -255,7 +265,9 @@ def _group_argmax(flat: jnp.ndarray, k: int):
     vals = jnp.max(groups, axis=1)
     local = jnp.argmax(groups, axis=1).astype(jnp.int32)
     idx = jnp.arange(k, dtype=jnp.int32) * groups.shape[1] + local
-    return vals, idx
+    winner_mask = jnp.arange(groups.shape[1], dtype=jnp.int32)[None, :] == local[:, None]
+    second = jnp.max(jnp.where(winner_mask, -jnp.inf, groups), axis=1)
+    return vals, idx, second
 
 
 # ---------------------------------------------------------------------------
@@ -375,7 +387,8 @@ def _combo_score_kernel(F_flat, idx4, cid, E, c0):
     V4 = F_flat[idx4]                                        # [n_combo, 4]
     vals = V4[cid]                                           # [Bo, P, 4]
     return (
-        jnp.einsum("bpe,per->br", vals, E, preferred_element_type=vals.dtype)
+        jnp.einsum("bpe,per->br", vals, E, preferred_element_type=vals.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
         + c0
     )
 
@@ -643,14 +656,18 @@ class SubsetScorer:
         orients: np.ndarray,
         k: int = 64,
         chunk_orders: int = 20160,
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    ) -> Tuple[np.ndarray, np.ndarray, float]:
         """Top-k candidates without materializing all costs on host.
 
-        Returns (global candidate indices, fast-precision costs), both
-        length <= k, unordered beyond being the per-chunk top-k merge.
+        Returns (global candidate indices, fast-precision costs, floor):
+        indices/costs are length <= k, unordered beyond being the
+        per-chunk top-k merge, and ``floor`` is a hard upper bound on
+        the fast score of every candidate NOT returned (from the
+        on-device per-group second-max plus any merge truncation) — the
+        escalation witness for ``argmax_reference_ties_sparse``.
         Global index = order_idx * R + orient_idx (reference enumeration
         order).  The full-cost path (``score_batch``) moves Bo*R floats
-        across the host link; this moves 2k per chunk — the difference
+        across the host link; this moves 3k per chunk — the difference
         between ~3M and ~200M candidate evaluations/s over a thin
         host<->device link.
         """
@@ -677,7 +694,7 @@ class SubsetScorer:
         R = orients.shape[0]
         if self.degenerate:
             m = min(k, Bo * R)
-            return (), lambda host: (np.arange(m), np.zeros(m))
+            return (), lambda host: (np.arange(m), np.zeros(m), -np.inf)
         pi, pj = np.triu_indices(S, k=1)
         e_onehot = _orient_onehot(S, orients, np.dtype(self._F_flat.dtype))
         if 2 <= S <= 8 and len(np.unique(orders[0])) == S:
@@ -694,27 +711,37 @@ class SubsetScorer:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], chunk_orders - n_real, axis=0)]
                 )
-            vals, idx = _block_score_topk_kernel(
+            vals, idx, second = _block_score_topk_kernel(
                 self._F_flat, self._sizes_d, self._put_batch(chunk), e_d,
                 pi_d, pj_d, c0_d, self.C + 1, min(k, chunk.shape[0] * R),
             )
-            handles.extend((vals, idx))
+            handles.extend((vals, idx, second))
             meta.append((ofs, n_real, min(k, n_real * R)))
 
         def finish(host):
             all_idx: List[np.ndarray] = []
             all_vals: List[np.ndarray] = []
-            for h, (ofs, n_real, kk) in zip(range(0, len(host), 2), meta):
-                vals, idx = host[h], host[h + 1]
+            floor = -np.inf  # upper bound on any candidate NOT returned
+            for h, (ofs, n_real, kk) in zip(range(0, len(host), 3), meta):
+                vals, idx, second = host[h], host[h + 1], host[h + 2]
                 keep = idx < n_real * R  # drop padding rows
                 all_idx.append(idx[keep][:kk] + ofs * R)
                 all_vals.append(vals[keep][:kk])
+                # dropped in-group candidates score < their group's second
+                # max; pad-winner groups duplicate a real candidate whose
+                # score may not be in the kept set — bound it by the val
+                sec = second[np.isfinite(second)]
+                if sec.size:
+                    floor = max(floor, float(sec.max()))
+                if (~keep).any():
+                    floor = max(floor, float(vals[~keep].max()))
             idx = np.concatenate(all_idx)
             vals = np.concatenate(all_vals)
             if len(idx) > k:
-                top = np.argsort(-vals, kind="stable")[:k]
-                idx, vals = idx[top], vals[top]
-            return idx, vals
+                top = np.argsort(-vals, kind="stable")
+                floor = max(floor, float(vals[top[k]]))
+                idx, vals = idx[top[:k]], vals[top[:k]]
+            return idx, vals, floor
 
         return tuple(handles), finish
 
@@ -768,7 +795,7 @@ class SubsetScorer:
         cid_dev = combo[ck]
         n_pad = cid_dev.shape[0]
         kk = min(k, Bo * R)
-        vals_d, idx_d = _combo_score_topk_kernel(
+        vals_d, idx_d, second_d = _combo_score_topk_kernel(
             self._F_flat,
             jnp.asarray(idx4),
             cid_dev,
@@ -778,15 +805,22 @@ class SubsetScorer:
         )
 
         def finish(host):
-            vals, idx = host[0], host[1]
+            vals, idx, second = host[0], host[1], host[2]
+            floor = -np.inf
+            sec = second[np.isfinite(second)]
+            if sec.size:
+                floor = max(floor, float(sec.max()))
             keep = idx < Bo * R  # drop mesh-padding rows
+            if (~keep).any():  # pad rows duplicate the last real candidate
+                floor = max(floor, float(vals[~keep].max()))
             idx, vals = idx[keep], vals[keep]
             if len(idx) > kk:
-                top = np.argsort(-vals, kind="stable")[:kk]
-                idx, vals = idx[top], vals[top]
-            return idx, vals
+                top = np.argsort(-vals, kind="stable")
+                floor = max(floor, float(vals[top[kk]]))
+                idx, vals = idx[top[:kk]], vals[top[:kk]]
+            return idx, vals, floor
 
-        return (vals_d, idx_d), finish
+        return (vals_d, idx_d, second_d), finish
 
     def _put_batch(self, chunk: np.ndarray):
         if self._mesh is None:
@@ -861,12 +895,71 @@ def BlockScorer(
 
 
 # Fast-precision safety margin: a candidate whose device (f32) score is
-# more than this RELATIVE margin below the device max cannot be the f64
-# winner (f32 relative error for these kernels is ~1e-5; 1e-3 is a 100x
-# safety factor).  Each excluded candidate saves an O(C^2) host f64
-# re-score (~5-10ms at C~2000), which otherwise dominates the greedy
-# stage's wall-clock.
+# more than this RELATIVE margin below the exact (f64) winner cannot be
+# the f64 winner.  Why 1e-3 is safe: every cost is a sum of NON-NEGATIVE
+# terms M[i,j] * w(d) (contact counts and harmonic weights are >= 0 —
+# no cancellation), so the f32 kernel's relative error is bounded by
+# depth * u with u = 2^-24 and depth the accumulation-chain length;
+# XLA reduces the table contractions in blocked trees, depth <~ 64 even
+# at C = 4096, bounding |f64 - f32| / |f64| <~ 4e-6.  Measured (200
+# random candidates per shape, C up to 1200, v5e TPU AND XLA:CPU):
+# max 9e-8, median 3e-8 — but ONLY with Precision.HIGHEST on the MXU
+# contractions below; the MXU's default bf16-multiply path measured
+# 5e-4, which is why every scoring dot pins HIGHEST (they are
+# gather/bandwidth-bound, so full-fidelity multiplies are free).
+# 1e-3 is therefore a >10,000x measured safety factor, and it is
+# *enforced*, not assumed: every rescored candidate's observed
+# |f64 - f32| feeds ``PRECISION`` (warns at margin/8), and the decision
+# rules below escalate — widening the rescore set, or pulling the full
+# cost vector when the device top-k floor is too close — until no
+# unseen candidate can beat the winner.  Each excluded candidate saves
+# an O(C^2) host f64 re-score (~5-10ms at C~2000), which otherwise
+# dominates the greedy stage's wall-clock.
 _F32_MARGIN = 1e-3
+
+
+class PrecisionStats:
+    """Live monitor of the fast-vs-exact score gap.
+
+    Every decision that re-scores a candidate in f64 records the
+    discrepancy against its f32 device score here; if any observation
+    exceeds ``_F32_MARGIN / 8`` the margin assumption is formally
+    violated and a warning is raised (the decision itself stays correct
+    — the escalation loops anchor on f64 values, so a violation within
+    ``_F32_MARGIN`` only costs extra re-scores, and a violation beyond
+    it is surfaced instead of silently mis-deciding)."""
+
+    def __init__(self) -> None:
+        self.n = 0
+        self.max_rel = 0.0
+        self.escalations = 0
+        self.violations = 0
+
+    def observe(self, fast: float, exact: float) -> None:
+        if not np.isfinite(fast):
+            return
+        rel = abs(exact - fast) / max(abs(exact), 1.0)
+        self.n += 1
+        if rel > self.max_rel:
+            self.max_rel = rel
+        if rel > _F32_MARGIN / 8.0:
+            self.violations += 1
+            import warnings
+
+            warnings.warn(
+                "fast-precision score error %.3g exceeds the f32 margin "
+                "budget %.3g (exact=%r fast=%r); decisions remain exact via "
+                "escalation but the kernel precision model is off" %
+                (rel, _F32_MARGIN / 8.0, exact, fast),
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
+    def reset(self) -> None:
+        self.__init__()
+
+
+PRECISION = PrecisionStats()
 
 
 def _prefilter_margin(vals: np.ndarray) -> np.ndarray:
@@ -874,22 +967,89 @@ def _prefilter_margin(vals: np.ndarray) -> np.ndarray:
     return vals >= best - _F32_MARGIN * max(abs(best), 1.0)
 
 
+def _decide(
+    costs: np.ndarray,
+    rescore: Callable[[int], float],
+    exact: dict,
+    rel_tol: float,
+) -> Tuple[int, float]:
+    """Shared adaptive core: given fast costs for ALL candidates and a
+    (possibly pre-seeded) f64 cache, grow the cache until no candidate
+    whose fast score is within ``_F32_MARGIN`` of the exact winner is
+    un-rescored, then apply the reference tie rule (earliest index among
+    f64 ties wins)."""
+    best = max(exact.values())
+    while True:
+        band = _F32_MARGIN * max(abs(best), 1.0)
+        cand = np.nonzero(costs >= best - band)[0]
+        new = [int(i) for i in cand if int(i) not in exact]
+        if not new:
+            break
+        PRECISION.escalations += 1
+        for i in new:
+            exact[i] = float(rescore(i))
+            PRECISION.observe(float(costs[i]), exact[i])
+        best = max(exact.values())
+    tol = rel_tol * max(abs(best), 1.0)
+    winners = sorted(i for i, c in exact.items() if c >= best - tol)
+    return winners[0], exact[winners[0]]
+
+
 def argmax_reference_ties_sparse(
     cand_indices: np.ndarray,
     rescore: Callable[[int], float],
     rel_tol: float = 1e-12,
     fast_vals: Optional[np.ndarray] = None,
+    second_floor: Optional[float] = None,
+    escalate: Optional[Callable[[], np.ndarray]] = None,
 ) -> Tuple[int, float]:
     """Reference tie rule over a sparse candidate set (device top-k):
     f64-rescore the plausible candidates, earliest index among ties
     wins.  ``fast_vals`` (parallel to ``cand_indices``) enables the
-    f32-margin prefilter."""
+    f32-margin prefilter; excluded candidates are adaptively re-added
+    whenever their fast score is within the margin of the exact winner.
+    ``second_floor`` (the kernel's bound on every candidate it did NOT
+    return) plus ``escalate`` (-> full fast-cost vector) close the last
+    gap: if the floor is within the margin of the exact winner, the
+    decision re-runs densely over all candidates."""
     cand_indices = np.asarray(cand_indices)
-    if fast_vals is not None and len(cand_indices) > 1:
-        keep = _prefilter_margin(np.asarray(fast_vals))
-        cand_indices = cand_indices[keep]
-    exact = {int(i): float(rescore(int(i))) for i in cand_indices}
+    fv = None if fast_vals is None else np.asarray(fast_vals, dtype=np.float64)
+    sel = cand_indices
+    if fv is not None and len(cand_indices) > 1:
+        sel = cand_indices[_prefilter_margin(fv)]
+    fmap = {}
+    if fv is not None:
+        fmap = {int(i): float(v) for i, v in zip(cand_indices, fv)}
+    exact = {}
+    for i in sel:
+        exact[int(i)] = float(rescore(int(i)))
+        PRECISION.observe(fmap.get(int(i), np.nan), exact[int(i)])
     best = max(exact.values())
+    if fv is not None:
+        while True:
+            band = _F32_MARGIN * max(abs(best), 1.0)
+            new = [
+                int(i) for i, v in zip(cand_indices, fv)
+                if v >= best - band and int(i) not in exact
+            ]
+            if not new:
+                break
+            PRECISION.escalations += 1
+            for i in new:
+                exact[i] = float(rescore(i))
+                PRECISION.observe(fmap[i], exact[i])
+            best = max(exact.values())
+    band = _F32_MARGIN * max(abs(best), 1.0)
+    if (
+        second_floor is not None
+        and escalate is not None
+        and second_floor >= best - band
+    ):
+        # candidates dropped on-device could still contend: pull the
+        # full fast-cost vector and decide densely (rare by design)
+        PRECISION.escalations += 1
+        full = np.asarray(escalate(), dtype=np.float64)
+        return _decide(full, rescore, exact, rel_tol)
     tol = rel_tol * max(abs(best), 1.0)
     winners = sorted(i for i, c in exact.items() if c >= best - tol)
     return winners[0], exact[winners[0]]
@@ -900,6 +1060,7 @@ def argmax_reference_ties(
     rescore: Optional[Callable[[int], float]] = None,
     k: int = 64,
     rel_tol: float = 1e-12,
+    known: Optional[dict] = None,
 ) -> Tuple[int, float]:
     """Pick the winning candidate the way the reference does.
 
@@ -907,8 +1068,14 @@ def argmax_reference_ties(
     than the running best, i.e. the earliest index attaining the max.
     Device costs are fast-precision, so the top-k are optionally
     re-scored with ``rescore(index) -> f64`` before the final argmax;
-    candidates within ``rel_tol`` of the best count as ties and the
-    earliest index wins.
+    the rescore set then grows adaptively until every candidate whose
+    fast score is within ``_F32_MARGIN`` of the exact winner has been
+    re-scored (so a fast-precision error inside the margin cannot flip
+    the decision, and one beyond it is detected by ``PRECISION``).
+    Candidates within ``rel_tol`` of the best count as ties and the
+    earliest index wins.  ``known`` optionally seeds the f64 cache with
+    already-exact values (e.g. the current ordering's own cost) so they
+    are never re-scored.
     """
     n = costs.shape[0]
     if n == 0:
@@ -917,12 +1084,14 @@ def argmax_reference_ties(
         best = float(costs.max())
         ties = np.nonzero(costs >= best - rel_tol * max(abs(best), 1.0))[0]
         return int(ties[0]), best
+    costs = np.asarray(costs, dtype=np.float64)
     k = min(k, n)
     top = np.argpartition(-costs, k - 1)[:k]
-    keep = _prefilter_margin(costs[top])
-    top = top[keep]
-    exact = {int(i): float(rescore(int(i))) for i in top}
-    best = max(exact.values())
-    tol = rel_tol * max(abs(best), 1.0)
-    winners = sorted(i for i, c in exact.items() if c >= best - tol)
-    return winners[0], exact[winners[0]]
+    top = top[_prefilter_margin(costs[top])]
+    exact = dict(known) if known else {}
+    for i in top:
+        i = int(i)
+        if i not in exact:
+            exact[i] = float(rescore(i))
+            PRECISION.observe(float(costs[i]), exact[i])
+    return _decide(costs, rescore, exact, rel_tol)

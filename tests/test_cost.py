@@ -183,7 +183,7 @@ def test_combo_topk_matches_block_scores():
             _e_onehot(orders.shape[1], orients, np.float64),
             k=16,
         )
-        idx, vals = finish([np.asarray(h) for h in handles])
+        idx, vals, _floor = finish([np.asarray(h) for h in handles])
         np.testing.assert_allclose(vals, full[idx], rtol=1e-12)
         assert int(np.argmax(full)) in set(idx.tolist())
 

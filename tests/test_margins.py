@@ -1,0 +1,357 @@
+"""Adversarial validation of the fast-precision decision margins.
+
+The device scoring path is f32; reference-exact decisions rest on three
+guards (ops.cost._F32_MARGIN prefilter, the sliding-window skip trigger,
+the greedy near-zero band) plus the k-wide device top-k.  These tests
+attack each guard directly:
+
+* engineered near-ties straddling the margins (decision-rule unit tests
+  with exact control over fast/exact values);
+* duplicate scaffolds (exact cost ties -> earliest-index rule);
+* seeded property sweeps comparing the whole device decision path
+  against a pure-f64 serial reference search (strict ``>`` update, the
+  reference's orderGenome.py:457-471 semantics);
+* fault injection: sub-margin noise added to every fast score must
+  leave the full part-2 pipeline's output bit-identical, and
+  super-margin noise must be *detected* (PRECISION.violations), never
+  silently mis-decide.
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from hic_genome_assembler_tpu.models import part2_order
+from hic_genome_assembler_tpu.ops import cost, oracle, perms
+
+
+@pytest.fixture(autouse=True)
+def _reset_precision():
+    cost.PRECISION.reset()
+    yield
+    cost.PRECISION.reset()
+
+
+# ---------------------------------------------------------------------------
+# serial f64 reference search (the oracle the device path must match)
+# ---------------------------------------------------------------------------
+
+
+def _serial_reference_search(m, sizes):
+    """Strict-> running-max over the reference enumeration order, every
+    candidate scored by the f64 oracle kernel."""
+    S = len(sizes)
+    orders = perms.order_batch(S)
+    orients = perms.orient_batch(S)
+    total = cost.upper_triangle_total(m)
+    best, best_idx = -np.inf, None
+    idx = 0
+    for o in orders:
+        for r in orients:
+            bin_order = cost.bin_order_of_block(o, r, sizes)
+            c = oracle.cost_function(m[np.ix_(bin_order, bin_order)], total)
+            if c > best:
+                best, best_idx = c, idx
+            idx += 1
+    return best_idx, best
+
+
+def _device_search(m, sizes, k=16):
+    scorer = cost.BlockScorer(m.astype(np.float64), sizes, dtype=np.float32)
+    S = len(sizes)
+    orders = perms.order_batch(S)
+    orients = perms.orient_batch(S)
+    R = len(orients)
+    idx, vals, floor = scorer.score_batch_topk(orders, orients, k=k)
+    return cost.argmax_reference_ties_sparse(
+        idx,
+        rescore=lambda i: scorer.score_host(orders[i // R], orients[i % R]),
+        fast_vals=vals,
+        second_floor=floor,
+        escalate=lambda: scorer.score_batch(orders, orients),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decision-rule unit tests: engineered straddles
+# ---------------------------------------------------------------------------
+
+
+def test_dense_escalation_recovers_suppressed_winner():
+    """True winner's fast score is pushed below the prefilter cut (but
+    inside the margin band of the exact winner): the adaptive loop must
+    find it, and the super-budget discrepancy must be *flagged*."""
+    n = 200
+    exact_vals = np.linspace(1.0, 9.0, n)
+    true_winner = 137
+    exact_vals[true_winner] = 10.0
+    fast = exact_vals.copy()
+    # suppress the winner by 5e-4 relative: below many rivals' fast
+    # scores is impossible here, so also raise a decoy above it
+    fast[true_winner] = 10.0 - 5e-4 * 10.0
+    decoy = 42
+    exact_vals[decoy] = 9.9995
+    fast[decoy] = 9.9995 + 4e-4 * 10.0  # decoy reads as the fast max
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        w, b = cost.argmax_reference_ties(
+            fast, rescore=lambda i: float(exact_vals[i]), k=4
+        )
+    assert w == true_winner and b == 10.0
+    assert cost.PRECISION.violations > 0  # 5e-4 > margin/8
+
+
+def test_dense_escalation_ignores_submargin_noise():
+    rng = np.random.default_rng(0)
+    n = 500
+    exact_vals = rng.uniform(0.0, 100.0, n)
+    fast = exact_vals * (1.0 + rng.uniform(-1e-4, 1e-4, n))
+    w, b = cost.argmax_reference_ties(fast, rescore=lambda i: float(exact_vals[i]))
+    assert w == int(np.argmax(exact_vals))
+    assert b == float(exact_vals.max())
+    assert cost.PRECISION.violations == 0
+
+
+def test_sparse_floor_escalation_pulls_full_vector():
+    """Device top-k entirely missed the true winner (its group had a
+    near-tie rival): second_floor forces the dense escalation."""
+    n = 1000
+    exact_vals = np.linspace(0.0, 5.0, n)
+    true_winner = 700
+    exact_vals[true_winner] = 5.001
+    fast = exact_vals.copy()
+    # the device "returned" only candidates far from the winner, but the
+    # floor honestly reports a dropped near-tie at the winner's level
+    cand = np.array([999, 500, 100])
+    called = {"full": 0}
+
+    def escalate():
+        called["full"] += 1
+        return fast
+
+    w, b = cost.argmax_reference_ties_sparse(
+        cand,
+        rescore=lambda i: float(exact_vals[i]),
+        fast_vals=fast[cand],
+        second_floor=float(fast[true_winner]),
+        escalate=escalate,
+    )
+    assert called["full"] == 1
+    assert w == true_winner and b == 5.001
+    assert cost.PRECISION.escalations >= 1
+
+
+def test_sparse_no_escalation_when_floor_is_safe():
+    n = 1000
+    exact_vals = np.linspace(0.0, 5.0, n)
+    fast = exact_vals.copy()
+    cand = np.array([999, 998, 997])
+
+    def escalate():  # pragma: no cover - must not be called
+        raise AssertionError("escalated with a safe floor")
+
+    w, b = cost.argmax_reference_ties_sparse(
+        cand,
+        rescore=lambda i: float(exact_vals[i]),
+        fast_vals=fast[cand],
+        second_floor=4.0,  # well below best - margin band
+        escalate=escalate,
+    )
+    assert w == 999
+
+
+def test_sparse_prefiltered_candidate_readded_by_escalation():
+    """A kept-set candidate excluded by the f32 prefilter (because a
+    decoy inflated the fast max) must be re-added when the exact winner
+    lands within the margin of its fast score."""
+    exact_vals = {10: 7.0, 20: 6.9999, 30: 1.0}
+    fast = np.array([7.0 - 6e-4 * 7, 6.9999 + 5e-4 * 7, 1.0])
+    cand = np.array([10, 20, 30])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        w, b = cost.argmax_reference_ties_sparse(
+            cand, rescore=lambda i: exact_vals[i], fast_vals=fast
+        )
+    assert w == 10 and b == 7.0
+
+
+# ---------------------------------------------------------------------------
+# kernel-level: duplicate scaffolds and engineered near-ties
+# ---------------------------------------------------------------------------
+
+
+def _block_matrix(rng, sizes):
+    C = sum(sizes)
+    pos = np.arange(C, dtype=np.float64)
+    m = 50.0 / (1.0 + np.abs(pos[:, None] - pos[None, :]))
+    m += rng.random((C, C))
+    m = np.triu(m, 1)
+    m = m + m.T
+    return m
+
+
+def test_duplicate_scaffolds_exact_ties_earliest_wins():
+    """Two identical scaffolds create exact cost ties for every swap of
+    them; the device path must return the same (earliest) candidate as
+    the serial f64 reference."""
+    rng = np.random.default_rng(7)
+    sizes = [4, 4, 3, 2]
+    m = _block_matrix(rng, sizes)
+    # make scaffolds 0 and 1 byte-identical in all interactions
+    a0, a1 = slice(0, 4), slice(4, 8)
+    m[a1, a1] = m[a0, a0]
+    rest = slice(8, None)
+    m[a1, rest] = m[a0, rest]
+    m[rest, a1] = m[rest, a0]
+    m[a0, a1] = m[a0, a0]
+    m[a1, a0] = m[a0, a0]
+    ref_idx, ref_best = _serial_reference_search(m, sizes)
+    dev_idx, dev_best = _device_search(m, sizes)
+    assert dev_idx == ref_idx
+    assert dev_best == pytest.approx(ref_best, rel=1e-11)
+
+
+@pytest.mark.parametrize("eps_rel", [1e-9, 1e-7, 1e-5, 1e-4])
+def test_engineered_near_tie_straddling_f32(eps_rel):
+    """Near-degenerate matrices: duplicate scaffolds with a perturbation
+    of eps_rel relative magnitude — below f32 resolution the decision
+    must come from f64, above it both agree; in every case the device
+    path must equal the serial reference."""
+    rng = np.random.default_rng(int(1 / eps_rel) % 2**31)
+    sizes = [3, 3, 2, 2]
+    m = _block_matrix(rng, sizes)
+    a0, a1 = slice(0, 3), slice(3, 6)
+    m[a1, a1] = m[a0, a0]
+    rest = slice(6, None)
+    m[a1, rest] = m[a0, rest] * (1.0 + eps_rel)
+    m[rest, a1] = m[a1, rest].T
+    m[a0, a1] = m[a0, a0]
+    m[a1, a0] = m[a0, a0]
+    ref_idx, ref_best = _serial_reference_search(m, sizes)
+    dev_idx, dev_best = _device_search(m, sizes)
+    assert dev_idx == ref_idx
+    # score_host and the serial oracle differ only in the 1-ulp
+    # summation-order of ``total`` (the subset total is accumulated
+    # blockwise); the decision-relevant claim is the index match
+    assert dev_best == pytest.approx(ref_best, rel=1e-11)
+
+
+def test_property_sweep_device_equals_serial_reference():
+    """Seeded sweep: random matrices (including rank-deficient and
+    heavy-tailed), S up to 6 — the device decision path must match the
+    serial f64 reference search candidate-for-candidate."""
+    mismatches = []
+    for seed in range(40):
+        rng = np.random.default_rng(seed)
+        S = int(rng.integers(3, 7))
+        sizes = [int(s) for s in rng.integers(1, 6, S)]
+        kind = seed % 4
+        C = sum(sizes)
+        if kind == 0:
+            m = _block_matrix(rng, sizes)
+        elif kind == 1:  # rank-1 (maximally tie-prone)
+            v = rng.random(C)
+            m = np.outer(v, v)
+        elif kind == 2:  # heavy-tailed counts
+            m = rng.pareto(1.5, (C, C)) * 10
+            m = np.triu(m, 1)
+            m = m + m.T
+        else:  # integer counts with many exact collisions
+            m = rng.integers(0, 4, (C, C)).astype(np.float64)
+            m = np.triu(m, 1)
+            m = m + m.T
+        ref_idx, _ = _serial_reference_search(m, sizes)
+        dev_idx, _ = _device_search(m, sizes)
+        if dev_idx != ref_idx:
+            mismatches.append((seed, sizes, dev_idx, ref_idx))
+    assert not mismatches, mismatches
+
+
+# ---------------------------------------------------------------------------
+# fault injection: the full part-2 pipeline under noisy fast scores
+# ---------------------------------------------------------------------------
+
+
+AMP_SUB = 3.0e-4  # < _F32_MARGIN: decisions must be unchanged (and this
+#                    still exceeds margin/8, so detection must fire too)
+
+
+def _noisy_patches(monkeypatch, amp, seed=0):
+    rng = np.random.default_rng(seed)
+    orig_pairs = cost.SubsetScorer.score_pairs_async
+    orig_topk = cost.SubsetScorer.score_batch_topk_async
+
+    def noisy_pairs(self, orders, orients):
+        handles, fin = orig_pairs(self, orders, orients)
+
+        def fin2(host):
+            out = fin(host)
+            if out.size:
+                scale = max(float(np.abs(out).max()), 1.0)
+                out = out + amp * scale * rng.uniform(-1, 1, out.shape)
+            return out
+
+        return handles, fin2
+
+    def noisy_topk(self, orders, orients, k=64, chunk_orders=20160):
+        handles, fin = orig_topk(self, orders, orients, k=k, chunk_orders=chunk_orders)
+
+        def fin2(host):
+            idx, vals, floor = fin(host)
+            if len(vals):
+                scale = max(float(np.abs(vals).max()), 1.0)
+                vals = vals + amp * scale * rng.uniform(-1, 1, vals.shape)
+                floor = floor + amp * scale
+            return idx, vals, floor
+
+        return handles, fin2
+
+    monkeypatch.setattr(cost.SubsetScorer, "score_pairs_async", noisy_pairs)
+    monkeypatch.setattr(cost.SubsetScorer, "score_batch_topk_async", noisy_topk)
+
+
+def test_part2_pipeline_immune_to_submargin_noise(monkeypatch):
+    """Sub-margin noise on EVERY fast score must not change a single
+    part-2 decision (the f64 escalation owns the final word), and the
+    precision monitor must report the injected violation."""
+    from hic_genome_assembler_tpu.io import hicpro
+    from hic_genome_assembler_tpu.utils import fixtures
+
+    genome = fixtures.make_genome(
+        chrom_scaffold_bins=((9, 7, 5, 3, 2), (8, 6, 4, 2)),
+        seed=21,
+        noise=0.004,
+        cross_noise_frac=0.0,
+    )
+    bins = [
+        hicpro.Bin(bid, s.name, 0, 0, 1.0, 0.0)
+        for s in genome.scaffolds
+        for bid in s.bin_ids
+    ]
+    chrom_list = []
+    for c, names in sorted(genome.true_groups().items()):
+        group = []
+        for name in names:
+            s = genome.scaffold(name)
+            group.extend([bid, name] for bid in s.bin_ids)
+        chrom_list.append(group)
+
+    def run():
+        out = part2_order.order_genome(
+            genome.matrix, chrom_list, bins, genome.resolution,
+            n_scaffolds=4, scan_scaffolds=4, plot_chrom=False,
+        )
+        return [[(s.name, s.orientation) for s in g] for g in out]
+
+    clean = run()
+    cost.PRECISION.reset()
+    _noisy_patches(monkeypatch, AMP_SUB, seed=3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        noisy = run()
+    assert noisy == clean
+    # the injected noise exceeds the margin/8 budget -> must be detected
+    assert cost.PRECISION.violations > 0
+    assert cost.PRECISION.max_rel == pytest.approx(AMP_SUB, rel=0.9)

@@ -20,7 +20,7 @@ def test_topk_contains_true_best():
     orders = perms.order_batch(len(sizes))
     orients = perms.orient_batch(len(sizes))
     full = scorer.score_batch(orders, orients)
-    idx, vals = scorer.score_batch_topk(orders, orients, k=16)
+    idx, vals, _floor = scorer.score_batch_topk(orders, orients, k=16)
     assert int(np.argmax(full)) in set(idx.tolist())
     # values agree with the full path at the returned indices
     np.testing.assert_allclose(vals, full[idx], rtol=1e-9)
@@ -33,7 +33,7 @@ def test_topk_chunked_merge():
     orients = perms.orient_batch(len(sizes))
     full = scorer.score_batch(orders, orients)
     # force multiple chunks including a ragged tail
-    idx, vals = scorer.score_batch_topk(orders, orients, k=8, chunk_orders=5)
+    idx, vals, _floor = scorer.score_batch_topk(orders, orients, k=8, chunk_orders=5)
     assert int(np.argmax(full)) in set(idx.tolist())
     np.testing.assert_allclose(vals, full[idx], rtol=1e-9)
     # winner through the sparse tie rule == winner through the dense rule
@@ -57,6 +57,6 @@ def test_topk_mesh_sharded():
     local = cost.BlockScorer(m, sizes, dtype=np.float64)
     sharded = cost.BlockScorer(m, sizes, dtype=np.float64, mesh=mesh)
     full = local.score_batch(orders, orients)
-    idx, vals = sharded.score_batch_topk(orders, orients, k=16)
+    idx, vals, _floor = sharded.score_batch_topk(orders, orients, k=16)
     assert int(np.argmax(full)) in set(idx.tolist())
     np.testing.assert_allclose(vals, full[idx], rtol=1e-12)
