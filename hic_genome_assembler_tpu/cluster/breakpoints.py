@@ -112,6 +112,7 @@ class RankCounts:
             self._host = np.asarray(rank_mat, dtype=np.int32)
             self._use_pallas = False
             self._cache = {}
+            self._pending = []
             return
         import jax
 
@@ -168,12 +169,114 @@ class RankCounts:
         # convergence rounds re-request the same windows many times and
         # each device round trip costs ~100ms over a thin host link.
         self._cache: Dict[tuple, np.ndarray] = {}
+        # speculatively dispatched batches whose readback is deferred:
+        # list of (keys, device_out) — materialized wholesale (one
+        # transfer) when any of their keys is first consumed
+        self._pending: List[tuple] = []
+
+    # -- batched dispatch plumbing ---------------------------------------
+
+    def _dispatch_many(self, params: np.ndarray):
+        """One batched count dispatch for (start, cut, flag) rows
+        (flag=1: growing scan, flag=0: fixed window); returns the
+        un-read device array [Kp, >=n]."""
+        if self._use_pallas:
+            from hic_genome_assembler_tpu.ops import pallas_kernels as pk
+
+            return pk._counts_call_many(self._dev, jnp.asarray(params))
+        from hic_genome_assembler_tpu.ops import matrix as dev
+
+        return dev.counts_many(self._dev, jnp.asarray(params))
+
+    def _in_pending(self, key: tuple) -> bool:
+        return any(key in keys for keys, _out in self._pending)
+
+    def _materialize_pending(self, key: tuple) -> bool:
+        """If ``key`` sits in a pending batch, read back EVERY pending
+        batch with one ``jax.device_get`` (speculative batches are tiny
+        and usually all computed by now — one transfer beats one round
+        trip per batch) and cache the rows."""
+        if not any(key in keys for keys, _out in self._pending):
+            return False
+        import jax
+
+        outs = jax.device_get([out for _keys, out in self._pending])
+        for (keys, _out), rows in zip(self._pending, outs):
+            for k2, row in zip(keys, rows[:, : self.n]):
+                if k2 is not None and k2 not in self._cache:
+                    self._cache[k2] = np.ascontiguousarray(row, dtype=np.int32)
+        self._pending.clear()
+        return True
+
+    def prefetch_growing(self, starts: Sequence[int], limit: int = 16) -> None:
+        """Speculatively dispatch growing scans for many starts in ONE
+        device call, readback deferred.  The breakpoint pre-process
+        consumes growing counts at data-dependent starts, but each
+        scan's hit list predicts them (boundaries recur across scans) —
+        so misses collapse from one blocking round trip per start to
+        one per *novel hit list* (BENCHMARKS.md round 3: 26 s -> ~2 s
+        of the 16K cut detection)."""
+        if self._host is not None:
+            return
+        todo: List[int] = []
+        for s in starts:
+            s = int(s)
+            if not (0 <= s < self.n):
+                continue
+            if (s,) in self._cache or self._in_pending((s,)) or s in todo:
+                continue
+            todo.append(s)
+            if len(todo) >= limit:
+                break
+        if not todo:
+            return
+        K = len(todo)
+        Kp = 1 << max(K - 1, 0).bit_length()
+        params = np.zeros((Kp, 3), dtype=np.int32)
+        params[:K, 0] = todo
+        params[:K, 2] = 1
+        params[K:] = params[K - 1]
+        out = self._dispatch_many(params)
+        keys = [(s,) for s in todo] + [None] * (Kp - K)
+        self._pending.append((keys, out))
+
+    def prefetch_fixed_pairs(self, pairs: Sequence[tuple], chunk: int = 2048) -> None:
+        """Eagerly batch-load fixed counts for explicit (start, cut)
+        pairs — the cut-noise filter's ENTIRE reachable working set
+        ships as one dispatch + one readback per ``chunk`` instead of
+        one blocking prefetch per convergence round."""
+        missing = []
+        seen = set()
+        for s, c in pairs:
+            k = (int(s), int(c))
+            if k not in self._cache and not self._in_pending(k) and k not in seen:
+                seen.add(k)
+                missing.append(k)
+        if not missing:
+            return
+        if self._host is not None:
+            for s, c in missing:
+                self.fixed(s, c)
+            return
+        for ofs in range(0, len(missing), chunk):
+            blk = missing[ofs : ofs + chunk]
+            K = len(blk)
+            Kp = 1 << max(K - 1, 0).bit_length()
+            params = np.zeros((Kp, 3), dtype=np.int32)
+            params[:K, 0] = [s for s, _c in blk]
+            params[:K, 1] = [c for _s, c in blk]
+            params[K:] = params[K - 1]
+            rows = np.asarray(self._dispatch_many(params))[:K, : self.n]
+            for k2, row in zip(blk, rows):
+                self._cache[k2] = np.ascontiguousarray(row, dtype=np.int32)
 
     def growing(self, start: int) -> np.ndarray:
         key = (int(start),)
         hit = self._cache.get(key)
         if hit is not None:
             return hit
+        if self._pending and self._materialize_pending(key):
+            return self._cache[key]
         if self._host is not None:
             out = _host_growing_counts(self._host, int(start))
             self._cache[key] = out
@@ -195,6 +298,8 @@ class RankCounts:
         hit = self._cache.get(key)
         if hit is not None:
             return hit
+        if self._pending and self._materialize_pending(key):
+            return self._cache[key]
         if self._host is not None:
             out = _host_fixed_counts(self._host, int(start), int(cut))
             self._cache[key] = out
@@ -340,8 +445,14 @@ def pre_process_all_matrix_breakpoints(
         _vals, inds = find_matrix_pvalue_breakpoints(counts, ind, min_size, n - ind, psig=0.05)
         if len(inds) == 0:
             break
+        prev_ind = ind
         ind += int(inds[0])
         cinds.append(ind)
+        # speculative prefetch: the scan's own hit list predicts the
+        # upcoming scan starts (boundaries recur), so later growing()
+        # calls are usually pending-batch hits instead of one blocking
+        # device round trip each
+        counts.prefetch_growing([prev_ind + int(h) for h in inds])
         print(ind, inds)
         if ind >= stop_ind or (n - ind) <= min_size:
             break
@@ -370,6 +481,22 @@ def filter_noisy_breakpoints(
     MAX_ROUNDS = 10 * len(original_inds)
 
     altered = list(original_inds)
+    # every fixed window the filter can request is (s, c) with s in
+    # {0} U cuts and c a LATER cut (starts only jump to a rightmost-
+    # significant cut; cut sets only shrink; each round consults cuts
+    # in order and usually breaks within a few).  Prefetch each start's
+    # next-_DEPTH neighbor windows in ONE dispatch; the rare deep sweep
+    # (a round that consults past _DEPTH without breaking) bulk-loads
+    # the rest mid-round below.  This replaces one blocking device
+    # round trip per convergence round (~0.5 s each over the tunneled
+    # link, 30.6 s of the 16K cut detection) with one upfront batch.
+    _DEPTH = 8
+    _cuts = sorted(int(c) for c in altered)
+    _pairs = [(0, c) for c in _cuts[:_DEPTH]]
+    for si, s in enumerate(_cuts):
+        _pairs += [(s, c) for c in _cuts[si : si + _DEPTH]]
+    if len(_pairs) <= 4096:
+        counts.prefetch_fixed_pairs(_pairs)
     prev_filtered: Dict[int, str] = {"__sentinel__": ""}  # never equal on round 1
     filtered: Dict[int, str] = {}
     for _global_round in range(max_global_rounds):
@@ -386,8 +513,16 @@ def filter_noisy_breakpoints(
             M = n - start
             noise_found = 0
             select_from = None
-            counts.prefetch_fixed(start, altered)
+            if any(
+                (int(start), int(c)) not in counts._cache
+                for c in altered[: _DEPTH]
+            ):
+                counts.prefetch_fixed(start, altered)
             for i, c in enumerate(altered):
+                if i == _DEPTH and len(altered) > _DEPTH:
+                    # deep sweep: this round is consulting past the
+                    # speculated neighbor window — bulk-load the rest
+                    counts.prefetch_fixed(start, altered)
                 local_size = c - start
                 # row significance flags for this (start, c) window
                 row_counts = counts.fixed(start, c)

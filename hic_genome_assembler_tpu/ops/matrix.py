@@ -149,6 +149,25 @@ def fixed_window_counts_many(
     )(params)
 
 
+@jax.jit
+def counts_many(rank_mat: jnp.ndarray, params: jnp.ndarray) -> jnp.ndarray:
+    """Mixed batched counts: params int32[K, 3] rows of (start, cut,
+    flag) where flag=1 selects the growing scan and flag=0 the fixed
+    window — one dispatch for an arbitrary working set (the XLA analog
+    of pallas_kernels._counts_call_many; lax.map keeps the per-scan
+    [n, n] mask transient sequential instead of materializing K of
+    them)."""
+
+    def one(p):
+        return jax.lax.cond(
+            p[2] == 1,
+            lambda: growing_window_counts(rank_mat, p[0]),
+            lambda: fixed_window_counts(rank_mat, p[0], p[1]),
+        )
+
+    return jax.lax.map(one, params)
+
+
 def condensed_upper(matrix: np.ndarray) -> np.ndarray:
     """Upper triangle (k=1) in scipy condensed order.
 

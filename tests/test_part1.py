@@ -211,3 +211,37 @@ def test_modularity_tail_resolves_small_chromosomes():
     assert first_group != second_group
     # head order untouched
     assert [b.ID for b in bins2[:30]] == list(range(30))
+
+
+def test_pending_speculation_matches_host_counts():
+    """The deferred-readback speculation machinery (prefetch_growing /
+    prefetch_fixed_pairs / pending materialization) must produce counts
+    identical to the direct host scan, and pre_process/filter must give
+    identical cuts with and without it (the 16K path exercises it on
+    TPU; here the XLA-CPU device path at n > _HOST_N)."""
+    from hic_genome_assembler_tpu.cluster import breakpoints as bp
+
+    rng = np.random.default_rng(4)
+    n = bp._HOST_N + 160
+    # valid rank matrix: each row a permutation (what rank_matrix_desc yields)
+    rank = np.argsort(rng.random((n, n)), axis=1).astype(np.int32)
+
+    dev = bp.RankCounts(rank)            # n >= _HOST_N -> device path
+    assert dev._host is None
+    host = np.asarray(rank, dtype=np.int32)
+
+    starts = [0, 7, 123, 2049, n - 9]
+    dev.prefetch_growing(starts)
+    assert dev._pending
+    for s in starts:
+        np.testing.assert_array_equal(
+            dev.growing(s), bp._host_growing_counts(host, s)
+        )
+    assert not dev._pending  # materialized wholesale
+
+    pairs = [(0, 5), (17, 900), (900, 17), (5, n - 1), (n - 2, n - 1)]
+    dev.prefetch_fixed_pairs(pairs)
+    for s, c in pairs:
+        np.testing.assert_array_equal(
+            dev.fixed(s, c), bp._host_fixed_counts(host, s, c)
+        )
