@@ -334,3 +334,88 @@ def test_full_chain_fasta_byte_equal(ref, parity_dirs, part1_outputs):
     )
     _same_bytes(theirs / "chain.fasta", ours / "chain.fasta",
                 "full-chain assembled FASTA")
+
+
+@pytest.mark.parametrize(
+    "tag,noise,cross,min_size,look_ahead,conv_rounds,markers",
+    [
+        # lookAhead truncation: the 0.15 window cuts far short of n on
+        # every round; HMM converges within rounds
+        ("truncate", 0.03, 0.01, 9, 0.15, 2, ()),
+        # reset recursion: lookAhead=1.0 makes a boundary-free final
+        # window cut at exactly n -> the hardcoded reset fires
+        # (scaffoldToChromosomes.py:921-942): last-cut warning,
+        # convergenceRounds reduction AND the recursion with the
+        # minSize=5/modularity=.05/lookAhead=.5 reset parameters
+        (
+            "reset", 0.08, 0.03, 9, 1.0, 3,
+            (
+                "Last cut index found",
+                "convergenceRounds reduced",
+                "Recursing on identifyChromosomeGroupsHMM",
+            ),
+        ),
+    ],
+)
+def test_part1_hmm_branch_scaled_stress(
+    ref, tmp_path_factory, capsys, tag, noise, cross, min_size,
+    look_ahead, conv_rounds, markers
+):
+    """Scaled HMM-branch golden parity (VERDICT r2 weak #7): ~264 bins,
+    18 scaffolds, 4 chromosomes, parameters chosen to force the paths
+    the tiny fixture could not reach — lookAhead truncation,
+    convergence exhaustion and the hardcoded-reset recursion
+    (scaffoldToChromosomes.py:921-942).  Byte equality of the full
+    part-1 file bus, with stdout markers asserted so the stress paths
+    cannot silently go untested."""
+    import types as _types
+
+    g = fixtures.make_genome(
+        chrom_scaffold_bins=(
+            (24, 20, 16, 12, 10),
+            (22, 18, 14, 10),
+            (20, 16, 12, 10, 8),
+            (18, 14, 12, 8),
+        ),
+        seed=23,
+        noise=noise,
+        cross_noise_frac=cross,
+        decay_alpha=0.0,
+    )
+    root = tmp_path_factory.mktemp(f"hmmstress_{tag}")
+    paths = fixtures.write_hicpro_files(g, str(root / "hicpro"))
+    theirs, ours = root / "theirs", root / "ours"
+    theirs.mkdir(), ours.mkdir()
+
+    saved_hmm = ref.part1.hmm
+    ref.part1.hmm = _types.SimpleNamespace(GaussianHMM=_ShimGaussianHMM)
+    try:
+        ref.part1.runPipeline(
+            paths["bed"], paths["bias"], paths["matrix"], paths["sizes"],
+            str(theirs / "dendro.txt"), "/dev/null", "/dev/null",
+            str(theirs / "bingroups.txt"), str(theirs / "assessment.txt"),
+            str(theirs / "chromgroups.txt"),
+            False, True, min_size, 0, 3, 0.05, conv_rounds, look_ahead,
+            g.resolution,
+        )
+    finally:
+        ref.part1.hmm = saved_hmm
+    their_out = capsys.readouterr().out
+    part1_cluster.run_pipeline(
+        paths["bed"], paths["bias"], paths["matrix"], paths["sizes"],
+        str(ours / "dendro.txt"), "", "",
+        str(ours / "bingroups.txt"), str(ours / "assessment.txt"),
+        str(ours / "chromgroups.txt"),
+        hyper_geom=False, hmm=True, min_size=min_size, modularity=0,
+        louvain_rounds=3, psig=0.05, convergence_rounds=conv_rounds,
+        look_ahead=look_ahead, resolution=g.resolution,
+    )
+    our_out = capsys.readouterr().out
+    for name in ("dendro.txt", "bingroups.txt", "assessment.txt",
+                 "chromgroups.txt"):
+        _same_bytes(theirs / name, ours / name,
+                    f"part1-hmm-stress-{tag} {name}")
+    # the stress paths must actually fire, on BOTH sides
+    for m in markers:
+        assert m in their_out, f"reference never hit: {m}"
+        assert m in our_out, f"framework never hit: {m}"
