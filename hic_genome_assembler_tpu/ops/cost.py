@@ -601,6 +601,7 @@ class SubsetScorer:
             self.c0 = float(profile[:wlen] @ self.w[:wlen])
         else:
             self.c0 = 0.0
+        self._host_memo: dict = {}
         wpad = np.zeros(self.C + 1, dtype=np.float64)
         wpad[1 : self.C_sub] = self.w[1 : self.C_sub]
         F = _profiles_to_table(
@@ -864,15 +865,28 @@ class SubsetScorer:
 
     def score_host(self, order: Sequence[int], orient: Sequence[int]) -> float:
         """Reference-exact f64 cost for one (order, orientation); pad
-        ids are ignored."""
+        ids are ignored.
+
+        Memoized by the candidate's canonical BIN order: orientation
+        flips of single-bin scaffolds (and any other candidates that
+        collapse to the same bin sequence) are bit-identical orderings,
+        and brute-force enumerations contain 2^(#single-bin scaffolds)
+        such duplicates per arrangement — without the memo the adaptive
+        escalation re-scores every one of them at O(C^2)."""
         if self.degenerate:
             return 0.0
         order = np.asarray(order)
         orient = np.asarray(orient)
         real = order < self.S
         bin_order = bin_order_of_block(order[real], orient[real], self.sizes)
+        key = bin_order.tobytes()
+        hit = self._host_memo.get(key)
+        if hit is not None:
+            return hit
         gathered = self.parent._sub[np.ix_(bin_order, bin_order)]
-        return oracle.cost_function(gathered, self.total)
+        out = oracle.cost_function(gathered, self.total)
+        self._host_memo[key] = out
+        return out
 
 
 def BlockScorer(
@@ -907,15 +921,18 @@ def BlockScorer(
 # contractions below; the MXU's default bf16-multiply path measured
 # 5e-4, which is why every scoring dot pins HIGHEST (they are
 # gather/bandwidth-bound, so full-fidelity multiplies are free).
-# 1e-3 is therefore a >10,000x measured safety factor, and it is
+# 1e-4 is therefore a >1,000x measured safety factor, and it is
 # *enforced*, not assumed: every rescored candidate's observed
-# |f64 - f32| feeds ``PRECISION`` (warns at margin/8), and the decision
-# rules below escalate — widening the rescore set, or pulling the full
-# cost vector when the device top-k floor is too close — until no
-# unseen candidate can beat the winner.  Each excluded candidate saves
-# an O(C^2) host f64 re-score (~5-10ms at C~2000), which otherwise
-# dominates the greedy stage's wall-clock.
-_F32_MARGIN = 1e-3
+# |f64 - f32| feeds ``PRECISION`` (warns at margin/8 = 1.25e-5, itself
+# ~140x the measured max), and the decision rules below escalate —
+# widening the rescore set, or pulling the full cost vector when the
+# device top-k floor is too close — until no unseen candidate can beat
+# the winner.  The margin is deliberately NOT wider: every candidate
+# whose fast score lands within it of the exact winner costs an O(C^2)
+# host f64 re-score (~5-10ms at C~2000), and near-symmetric inputs put
+# many genuine near-ties inside a loose band (a 1e-3 margin measurably
+# stalled genome-scale part 2 on tie-heavy fixtures).
+_F32_MARGIN = 1e-4
 
 
 class PrecisionStats:

@@ -87,12 +87,12 @@ def test_dense_escalation_recovers_suppressed_winner():
     true_winner = 137
     exact_vals[true_winner] = 10.0
     fast = exact_vals.copy()
-    # suppress the winner by 5e-4 relative: below many rivals' fast
+    # suppress the winner by 5e-5 relative: below many rivals' fast
     # scores is impossible here, so also raise a decoy above it
-    fast[true_winner] = 10.0 - 5e-4 * 10.0
+    fast[true_winner] = 10.0 - 5e-5 * 10.0
     decoy = 42
-    exact_vals[decoy] = 9.9995
-    fast[decoy] = 9.9995 + 4e-4 * 10.0  # decoy reads as the fast max
+    exact_vals[decoy] = 9.99995
+    fast[decoy] = 9.9995 + 4e-5 * 10.0  # decoy reads as the fast max
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", RuntimeWarning)
@@ -100,14 +100,14 @@ def test_dense_escalation_recovers_suppressed_winner():
             fast, rescore=lambda i: float(exact_vals[i]), k=4
         )
     assert w == true_winner and b == 10.0
-    assert cost.PRECISION.violations > 0  # 5e-4 > margin/8
+    assert cost.PRECISION.violations > 0  # 5e-5 > margin/8
 
 
 def test_dense_escalation_ignores_submargin_noise():
     rng = np.random.default_rng(0)
     n = 500
     exact_vals = rng.uniform(0.0, 100.0, n)
-    fast = exact_vals * (1.0 + rng.uniform(-1e-4, 1e-4, n))
+    fast = exact_vals * (1.0 + rng.uniform(-1e-5, 1e-5, n))
     w, b = cost.argmax_reference_ties(fast, rescore=lambda i: float(exact_vals[i]))
     assert w == int(np.argmax(exact_vals))
     assert b == float(exact_vals.max())
@@ -166,8 +166,8 @@ def test_sparse_prefiltered_candidate_readded_by_escalation():
     """A kept-set candidate excluded by the f32 prefilter (because a
     decoy inflated the fast max) must be re-added when the exact winner
     lands within the margin of its fast score."""
-    exact_vals = {10: 7.0, 20: 6.9999, 30: 1.0}
-    fast = np.array([7.0 - 6e-4 * 7, 6.9999 + 5e-4 * 7, 1.0])
+    exact_vals = {10: 7.0, 20: 6.99999, 30: 1.0}
+    fast = np.array([7.0 - 6e-5 * 7, 6.99999 + 5e-5 * 7, 1.0])
     cand = np.array([10, 20, 30])
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", RuntimeWarning)
@@ -274,7 +274,7 @@ def test_property_sweep_device_equals_serial_reference():
 # ---------------------------------------------------------------------------
 
 
-AMP_SUB = 3.0e-4  # < _F32_MARGIN: decisions must be unchanged (and this
+AMP_SUB = 3.0e-5  # < _F32_MARGIN: decisions must be unchanged (and this
 #                    still exceeds margin/8, so detection must fire too)
 
 
