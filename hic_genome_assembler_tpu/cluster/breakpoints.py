@@ -27,6 +27,7 @@ the loop runs to fixpoint with a large safety cap.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -34,6 +35,17 @@ import numpy as np
 import scipy.stats
 
 from hic_genome_assembler_tpu.ops import hypergeom
+
+
+@functools.lru_cache(maxsize=1)
+def _u16_jit():
+    import jax
+
+    return jax.jit(lambda a: a.astype(jnp.uint16))
+
+
+def _narrow_u16(x):
+    return _u16_jit()(x)
 
 
 def hyper_geom_sf(x, M, n, N) -> np.ndarray:
@@ -154,11 +166,25 @@ class RankCounts:
                 if isinstance(rank_mat, np.ndarray):
                     t_r = -self.n % pk._TILE_R
                     t_c = -self.n % pk._TILE_C
-                    host = np.full(
-                        (self.n + t_r, self.n + t_c), -1, dtype=np.int32
-                    )
-                    host[: self.n, : self.n] = rank_mat
-                    self._dev = jnp.asarray(host)
+                    if self.n < 65000:
+                        # rank values live in [0, n): ship uint16 (half
+                        # the bytes over the host link — the 1 GiB int32
+                        # upload dominates cold-start at 16K) and widen
+                        # on device.  Pad sentinel 65535 > any row bound
+                        # is as inert as the int32 path's -1.
+                        host = np.full(
+                            (self.n + t_r, self.n + t_c), 65535, dtype=np.uint16
+                        )
+                        host[: self.n, : self.n] = rank_mat
+                        self._dev = jax.jit(
+                            lambda x: x.astype(jnp.int32)
+                        )(jnp.asarray(host))
+                    else:
+                        host = np.full(
+                            (self.n + t_r, self.n + t_c), -1, dtype=np.int32
+                        )
+                        host[: self.n, : self.n] = rank_mat
+                        self._dev = jnp.asarray(host)
                 else:
                     self._dev = pk.pad_rank(jnp.asarray(rank_mat, dtype=jnp.int32))
             elif isinstance(rank_mat, np.ndarray):
@@ -179,14 +205,20 @@ class RankCounts:
     def _dispatch_many(self, params: np.ndarray):
         """One batched count dispatch for (start, cut, flag) rows
         (flag=1: growing scan, flag=0: fixed window); returns the
-        un-read device array [Kp, >=n]."""
+        un-read device array [Kp, >=n].  Counts are <= n, so for
+        n < 65535 they ship back as uint16 — half the bytes over the
+        host link (the cache converts to int32 on arrival)."""
         if self._use_pallas:
             from hic_genome_assembler_tpu.ops import pallas_kernels as pk
 
-            return pk._counts_call_many(self._dev, jnp.asarray(params))
-        from hic_genome_assembler_tpu.ops import matrix as dev
+            out = pk._counts_call_many(self._dev, jnp.asarray(params))
+        else:
+            from hic_genome_assembler_tpu.ops import matrix as dev
 
-        return dev.counts_many(self._dev, jnp.asarray(params))
+            out = dev.counts_many(self._dev, jnp.asarray(params))
+        if self.n < 65000:
+            out = _narrow_u16(out)
+        return out
 
     def _in_pending(self, key: tuple) -> bool:
         return any(key in keys for keys, _out in self._pending)

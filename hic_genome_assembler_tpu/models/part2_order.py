@@ -134,7 +134,9 @@ def _drive(gen):
     try:
         handles = next(gen)
         while True:
-            handles = gen.send([np.asarray(h) for h in handles])
+            with profiling.timer("part2/scheduler_readback_wait"):
+                host = [np.asarray(h) for h in handles]
+            handles = gen.send(host)
     except StopIteration as e:
         return e.value
 
@@ -192,9 +194,11 @@ def _run_interleaved(coros: List, max_live: int = None) -> List:
     _fill()
     while live:
         i = live.popleft()
-        host = [np.asarray(h) for h in pending[i]]
+        with profiling.timer("part2/scheduler_readback_wait"):
+            host = [np.asarray(h) for h in pending[i]]
         try:
-            pending[i] = coros[i].send(host)
+            with profiling.timer("part2/host_decide"):
+                pending[i] = coros[i].send(host)
             _host_async(pending[i])
             live.append(i)
         except StopIteration as e:
