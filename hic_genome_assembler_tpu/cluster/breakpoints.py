@@ -202,20 +202,24 @@ class RankCounts:
 
     # -- batched dispatch plumbing ---------------------------------------
 
-    def _dispatch_many(self, params: np.ndarray):
+    def _dispatch_many(self, params: np.ndarray, mat=None):
         """One batched count dispatch for (start, cut, flag) rows
         (flag=1: growing scan, flag=0: fixed window); returns the
         un-read device array [Kp, >=n].  Counts are <= n, so for
         n < 65535 they ship back as uint16 — half the bytes over the
-        host link (the cache converts to int32 on arrival)."""
+        host link (the cache converts to int32 on arrival).  ``mat``
+        optionally substitutes a column-sliced view of the rank matrix
+        (sound for fixed windows, which never read past their width)."""
+        if mat is None:
+            mat = self._dev
         if self._use_pallas:
             from hic_genome_assembler_tpu.ops import pallas_kernels as pk
 
-            out = pk._counts_call_many(self._dev, jnp.asarray(params))
+            out = pk._counts_call_many(mat, jnp.asarray(params))
         else:
             from hic_genome_assembler_tpu.ops import matrix as dev
 
-            out = dev.counts_many(self._dev, jnp.asarray(params))
+            out = dev.counts_many(mat, jnp.asarray(params))
         if self.n < 65000:
             out = _narrow_u16(out)
         return out
@@ -290,17 +294,32 @@ class RankCounts:
             for s, c in missing:
                 self.fixed(s, c)
             return
-        for ofs in range(0, len(missing), chunk):
-            blk = missing[ofs : ofs + chunk]
-            K = len(blk)
-            Kp = 1 << max(K - 1, 0).bit_length()
-            params = np.zeros((Kp, 3), dtype=np.int32)
-            params[:K, 0] = [s for s, _c in blk]
-            params[:K, 1] = [c for _s, c in blk]
-            params[K:] = params[K - 1]
-            rows = np.asarray(self._dispatch_many(params))[:K, : self.n]
-            for k2, row in zip(blk, rows):
-                self._cache[k2] = np.ascontiguousarray(row, dtype=np.int32)
+        # a fixed window (s, c) only reads columns < c - s, so group by
+        # pow2 column need and dispatch on column-sliced views: neighbor
+        # windows (the common case) touch a few thousand columns, not
+        # the full matrix — ~20x less compute and HBM traffic at 16K
+        buckets: Dict[int, List[tuple]] = {}
+        full_cols = int(self._dev.shape[1])
+        for s, c in missing:
+            need = max(c - s, 1)
+            b = 1 << max(need - 1, 0).bit_length()
+            b = max(b, 2048)
+            if b >= full_cols:
+                b = full_cols
+            buckets.setdefault(b, []).append((s, c))
+        for b, pairs_b in sorted(buckets.items()):
+            mat = self._dev if b == full_cols else self._dev[:, :b]
+            for ofs in range(0, len(pairs_b), chunk):
+                blk = pairs_b[ofs : ofs + chunk]
+                K = len(blk)
+                Kp = 1 << max(K - 1, 0).bit_length()
+                params = np.zeros((Kp, 3), dtype=np.int32)
+                params[:K, 0] = [s for s, _c in blk]
+                params[:K, 1] = [c for _s, c in blk]
+                params[K:] = params[K - 1]
+                rows = np.asarray(self._dispatch_many(params, mat=mat))[:K, : self.n]
+                for k2, row in zip(blk, rows):
+                    self._cache[k2] = np.ascontiguousarray(row, dtype=np.int32)
 
     def growing(self, start: int) -> np.ndarray:
         key = (int(start),)

@@ -107,7 +107,7 @@ def growing_window_counts(rank_mat: jnp.ndarray, start: jnp.ndarray) -> jnp.ndar
     """
     n = rank_mat.shape[0]
     rows = jnp.arange(n, dtype=jnp.int32)[:, None]
-    cols = jnp.arange(n, dtype=jnp.int32)[None, :]
+    cols = jnp.arange(rank_mat.shape[1], dtype=jnp.int32)[None, :]
     in_prefix = cols < (rows - start)
     in_range = (rank_mat >= start) & (rank_mat <= rows)
     return jnp.sum(in_prefix & in_range, axis=1, dtype=jnp.int32)
@@ -124,8 +124,7 @@ def fixed_window_counts(
     count[i] = #{ j < (cut - start) : start <= R[i, j] <= cut }
     (scaffoldToChromosomes.py:631).
     """
-    n = rank_mat.shape[0]
-    cols = jnp.arange(n, dtype=jnp.int32)[None, :]
+    cols = jnp.arange(rank_mat.shape[1], dtype=jnp.int32)[None, :]
     in_prefix = cols < (cut - start)
     in_range = (rank_mat >= start) & (rank_mat <= cut)
     return jnp.sum(in_prefix & in_range, axis=1, dtype=jnp.int32)

@@ -84,3 +84,20 @@ def test_rankcounts_host_pad_layout():
     host[:n, :n] = rank
     want = np.asarray(pk.pad_rank(jnp.asarray(rank, dtype=jnp.int32)))
     np.testing.assert_array_equal(host, want)
+
+
+def test_counts_call_column_sliced_rectangular():
+    """prefetch_fixed_pairs dispatches fixed windows on column-sliced
+    (rectangular) views of the padded rank matrix — counts must equal
+    the full-matrix scan for every window narrower than the slice."""
+    rng = np.random.default_rng(5)
+    n = 700
+    rank = np.argsort(-rng.random((n, n)), axis=1).astype(np.int32)
+    padded = pk.pad_rank(jnp.asarray(rank))
+    b = 2048  # _TILE_C-aligned slice (the smallest bucket)
+    sliced = padded[:, :b] if padded.shape[1] > b else padded
+    for start, cut in ((0, 5), (3, 77), (100, 640), (650, 699)):
+        params = jnp.asarray(np.array([start, cut, 0], dtype=np.int32))
+        full = np.asarray(pk._counts_call(padded, params, interpret=True))[:n]
+        part = np.asarray(pk._counts_call(sliced, params, interpret=True))[:n]
+        np.testing.assert_array_equal(part, full, err_msg=f"{start},{cut}")
