@@ -152,8 +152,9 @@ def remove_rows(
     ``zero_rows``: drop rows/cols whose row sum is exactly zero.
     ``bias_vals``: optional (lo, hi) — additionally drop rows whose
     Bin.bias falls OUTSIDE lo < bias < hi (strict inequalities,
-    scaffoldToChromosomes.py:118-120; a row already removed as
-    zero-sum is not re-tested, per the reference's ``continue``).
+    scaffoldToChromosomes.py:118-120; the reference's ``continue``
+    only guards against double-appending an index, which boolean
+    masking is already immune to).
 
     Fills each surviving Bin's ``rowSum`` with its row sum in the
     *pruned* matrix, as the reference does after deletion (:135).
@@ -165,7 +166,7 @@ def remove_rows(
     if bias_vals is not False and bias_vals is not None:
         lo, hi = bias_vals
         bias = np.asarray([b.bias for b in bin_list], dtype=np.float64)
-        remove |= ~remove & ((bias > hi) | (bias < lo))
+        remove |= (bias > hi) | (bias < lo)
     keep = ~remove
     print("Rows/columns to remove " + str(int(remove.sum())))
     pruned = matrix[np.ix_(keep, keep)]

@@ -327,14 +327,19 @@ def _greedy_coro(
         scale = max(float(np.abs(costs).max()), 1.0)
         near = 1e-6 * scale
         cmax = float(costs.max()) if len(costs) else 0.0
-        skip = sub.degenerate or cmax <= -cost_ops._F32_MARGIN * scale
+        guard = -cost_ops._F32_MARGIN * scale
+        skip = sub.degenerate or cmax <= guard
         if not skip and cmax <= -near:
             # gray zone between the cheap skip band and the hard f32
-            # error budget: confirm in f64 that nothing is positive
-            ci = int(np.argmax(costs))
-            ex = sub.score_host(cand_orders[ci], cand_orients[ci])
-            cost_ops.PRECISION.observe(cmax, ex)
-            skip = ex <= 0.0
+            # error budget: confirm in f64 that NO candidate above the
+            # budget is actually positive (a deflated runner-up could
+            # be, even when the argmax is not)
+            ex_max = -np.inf
+            for ci in np.nonzero(costs > guard)[0]:
+                ex = sub.score_host(cand_orders[int(ci)], cand_orients[int(ci)])
+                cost_ops.PRECISION.observe(float(costs[ci]), ex)
+                ex_max = max(ex_max, ex)
+            skip = ex_max <= 0.0
         if skip:
             slot, orientation = 0, 0
             best_cost = 0.0
@@ -461,11 +466,16 @@ def _scan_coro(
                 if cmax <= trigger:
                     if cmax > guard:
                         # gray zone between the skip trigger and the f32
-                        # error budget: confirm the skip in f64
-                        ci = int(np.argmax(costs))
-                        ex = _rescore(ci)
-                        cost_ops.PRECISION.observe(cmax, ex)
-                        if ex <= best_cost:
+                        # error budget: confirm the skip in f64 for
+                        # EVERY candidate above the guard (a deflated
+                        # runner-up could beat best_cost even when the
+                        # argmax does not)
+                        ex_max = -np.inf
+                        for ci in np.nonzero(costs > guard)[0]:
+                            ex = _rescore(int(ci))
+                            cost_ops.PRECISION.observe(float(costs[ci]), ex)
+                            ex_max = max(ex_max, ex)
+                        if ex_max <= best_cost:
                             continue
                         # fast precision erred past the trigger — fall
                         # through to the exact decision (observe() above
@@ -679,6 +689,29 @@ def _wait_for_files(paths: Sequence[str], timeout_s: float, poll_s: float = 0.5)
         time.sleep(poll_s)
 
 
+def _wait_for_shards(
+    paths: Sequence[str], fingerprint: str, timeout_s: float, poll_s: float = 0.5
+) -> None:
+    """Barrier on shard files carrying THIS run's fingerprint — a
+    leftover file with a different (or no) header counts as missing
+    until its owner overwrites it."""
+    from hic_genome_assembler_tpu.parallel import distributed
+
+    deadline = time.time() + timeout_s
+    while True:
+        missing = [
+            p for p in paths if distributed.shard_fingerprint(p) != fingerprint
+        ]
+        if not missing:
+            return
+        if time.time() > deadline:
+            raise TimeoutError(
+                f"shards with run fingerprint {fingerprint!r} never appeared: "
+                f"{missing}"
+            )
+        time.sleep(poll_s)
+
+
 def run_pipeline(
     hic_pro_bed_file: str,
     hic_pro_bias_file: str,
@@ -722,32 +755,32 @@ def run_pipeline(
         chrom_list = filebus.read_chroms_from_file(chromosome_group_file)
 
     chrom_indices = None
+    run_fp = None
     if process_count > 1:
         import os
 
         from hic_genome_assembler_tpu.parallel import distributed
 
         # Stale-shard guard: shard files from a previous run in the same
-        # directory would satisfy the merge barrier immediately and get
+        # directory would otherwise satisfy the merge barrier and get
         # merged as this run's output.  Every rank removes its OWN shard
-        # before searching (covers reruns where all ranks launch); rank 0
-        # additionally clears shard paths that predate this run (covers a
-        # rank that never launches), keeping anything written within 60 s
-        # of now so a co-launched rank's fresh shard survives FS clock
-        # skew.
+        # before searching (always safe); everything else is content-
+        # based: shards carry a fingerprint of this run's inputs +
+        # parameters (distributed.run_fingerprint) and the merge barrier
+        # only accepts matching shards.  A leftover from a previous run
+        # with IDENTICAL inputs is byte-identical to what this run would
+        # recompute (the pipeline is deterministic), so accepting it is
+        # benign memoization; any other leftover is ignored until its
+        # owner overwrites it.  No mtime/clock heuristics — a
+        # slow-starting rank can never delete a fast rank's fresh shard.
+        run_fp = distributed.run_fingerprint(
+            chromosome_group_file, n_scaffolds, scan_scaffolds, resolution,
+            process_count,
+        )
         try:
             os.remove(chromosome_order_file + f".shard{process_index}")
         except FileNotFoundError:
             pass
-        if process_index == 0:
-            cutoff = time.time() - 60.0
-            for p in range(1, process_count):
-                path = chromosome_order_file + f".shard{p}"
-                try:
-                    if os.path.getmtime(path) < cutoff:
-                        os.remove(path)
-                except OSError:
-                    pass
 
         chrom_indices = distributed.shard_chromosomes(
             len(chrom_list), process_index, process_count
@@ -783,6 +816,7 @@ def run_pipeline(
                 if group is not None
             },
             shard_path,
+            fingerprint=run_fp,
         )
         if process_index != 0:
             print("Total run-time  for Part2 = " + str(time.time() - start))
@@ -794,9 +828,10 @@ def run_pipeline(
         shard_files = [
             chromosome_order_file + f".shard{p}" for p in range(process_count)
         ]
-        _wait_for_files(shard_files, shard_wait_s)
+        _wait_for_shards(shard_files, run_fp, shard_wait_s)
         distributed.merge_shard_orderings(
-            shard_files, len(chrom_list), chromosome_order_file
+            shard_files, len(chrom_list), chromosome_order_file,
+            fingerprint=run_fp,
         )
         genome_order = _reconstruct_genome_order(chrom_list, chromosome_order_file)
 

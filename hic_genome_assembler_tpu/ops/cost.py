@@ -1077,7 +1077,6 @@ def argmax_reference_ties(
     rescore: Optional[Callable[[int], float]] = None,
     k: int = 64,
     rel_tol: float = 1e-12,
-    known: Optional[dict] = None,
 ) -> Tuple[int, float]:
     """Pick the winning candidate the way the reference does.
 
@@ -1090,9 +1089,9 @@ def argmax_reference_ties(
     re-scored (so a fast-precision error inside the margin cannot flip
     the decision, and one beyond it is detected by ``PRECISION``).
     Candidates within ``rel_tol`` of the best count as ties and the
-    earliest index wins.  ``known`` optionally seeds the f64 cache with
-    already-exact values (e.g. the current ordering's own cost) so they
-    are never re-scored.
+    earliest index wins.  (Callers that already know some candidates'
+    exact costs memoize inside ``rescore`` — see score_host's bin-order
+    memo and the scan coroutine's f64_cache.)
     """
     n = costs.shape[0]
     if n == 0:
@@ -1105,10 +1104,9 @@ def argmax_reference_ties(
     k = min(k, n)
     top = np.argpartition(-costs, k - 1)[:k]
     top = top[_prefilter_margin(costs[top])]
-    exact = dict(known) if known else {}
+    exact = {}
     for i in top:
         i = int(i)
-        if i not in exact:
-            exact[i] = float(rescore(i))
-            PRECISION.observe(float(costs[i]), exact[i])
+        exact[i] = float(rescore(i))
+        PRECISION.observe(float(costs[i]), exact[i])
     return _decide(costs, rescore, exact, rel_tol)

@@ -128,8 +128,9 @@ def ge_significant(x, M, n, N, psig):
     hi = np.minimum(n, N)
 
     # Trivial decisions off the support edges (scipy: sf=1 / sf=0).
-    below = ~invalid & (x <= lo)  # P(X >= x) = 1
-    above = ~invalid & (x > hi)  # P(X >= x) = 0
+    below = ~invalid & (x <= lo)  # P(X >= x) = 1 exactly
+    above = ~invalid & (x > hi)  # P(X >= x) = 0 exactly
+    flags[below] = 1.0 < psig
     flags[above] = 0.0 < psig
 
     todo = ~(invalid | below | above)

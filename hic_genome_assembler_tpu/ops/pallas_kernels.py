@@ -78,7 +78,10 @@ def _counts_kernel(params_ref, rank_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _counts_call(rank_mat, params, interpret=False):
     n = rank_mat.shape[0]
-    grid = (pl.cdiv(n, _TILE_R), pl.cdiv(n, _TILE_C))
+    # column grid from shape[1]: column-sliced views (prefetch's
+    # width-bucketed dispatch) must scan ONLY their slice, not clamp
+    # out-of-bounds tiles back onto tile 0
+    grid = (pl.cdiv(n, _TILE_R), pl.cdiv(rank_mat.shape[1], _TILE_C))
     out = pl.pallas_call(
         _counts_kernel,
         grid=grid,

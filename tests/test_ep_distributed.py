@@ -99,19 +99,62 @@ def test_two_real_processes_merge_equals_single(ep_setup):
 
 
 def test_stale_shards_do_not_poison_merge(ep_setup):
+    """Leftover shards — old OR freshly written (a rapid re-run after a
+    crashed previous run) — must never leak into the merge: the barrier
+    is content-fingerprinted, not mtime-based."""
     g, paths, work, single_bytes = ep_setup
     out = os.path.join(work, "mp_stale")
     os.makedirs(out, exist_ok=True)
     order = os.path.join(out, "chromorder.txt")
-    # plant stale shards from a "previous run" (old mtimes), with
-    # garbage content that would corrupt the merge if accepted
-    for p in (0, 1):
+    # shard 0: hour-old garbage; shard 1: garbage written RIGHT NOW
+    # (the case an mtime cutoff would have merged)
+    for p, age in ((0, 3600.0), (1, 0.0)):
         path = order + f".shard{p}"
         with open(path, "w") as fh:
-            fh.write("### Chromosome group 1 ###\nSTALE_SCAFFOLD\t+\n")
-        old = time.time() - 3600
-        os.utime(path, (old, old))
+            fh.write("#run deadbeef\n### Chromosome group 1 ###\nSTALE_SCAFFOLD\t+\n")
+        if age:
+            old = time.time() - age
+            os.utime(path, (old, old))
     order, _logs = _launch_ranks(g, paths, out)
     merged = open(order, "rb").read()
     assert b"STALE_SCAFFOLD" not in merged
     assert merged == single_bytes
+
+
+def test_staggered_launch_keeps_early_shard(ep_setup):
+    """Rank 1 finishes its whole shard BEFORE rank 0 even starts (a
+    cluster scheduler staggering launches): rank 0 must accept the
+    pre-existing fingerprint-matched shard instead of deleting it (the
+    old 60 s mtime cutoff removed any shard older than rank 0's own
+    slow start and then deadlocked on the barrier)."""
+    g, paths, work, single_bytes = ep_setup
+    out = os.path.join(work, "mp_staggered")
+    os.makedirs(out, exist_ok=True)
+    groups = os.path.join(work, "single", "chromgroups.txt")
+    order = os.path.join(out, "chromorder.txt")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+
+    def run_rank(rank):
+        script = _RANK_SCRIPT.format(
+            repo=repo,
+            bed=paths["bed"], bias=paths["bias"], matrix=paths["matrix"],
+            groups=groups, order=order,
+            plot=os.path.join(out, "plotorder.txt"),
+            resolution=g.resolution, rank=rank,
+        )
+        p = subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        out_b, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out_b.decode(errors="replace")
+
+    run_rank(1)          # rank 1 runs to completion first...
+    shard1 = order + ".shard1"
+    assert os.path.exists(shard1)
+    old = time.time() - 120.0   # ...and its shard is 2 minutes "old"
+    os.utime(shard1, (old, old))
+    run_rank(0)          # rank 0 starts much later
+    assert open(order, "rb").read() == single_bytes

@@ -91,12 +91,15 @@ def test_counts_call_column_sliced_rectangular():
     (rectangular) views of the padded rank matrix — counts must equal
     the full-matrix scan for every window narrower than the slice."""
     rng = np.random.default_rng(5)
-    n = 700
+    n = 3000  # pads to 4096 cols, so the 2048-col slice is genuinely
+    #           rectangular (a 700-bin matrix pads to exactly 2048 and
+    #           would make this test compare the matrix to itself)
     rank = np.argsort(-rng.random((n, n)), axis=1).astype(np.int32)
     padded = pk.pad_rank(jnp.asarray(rank))
     b = 2048  # _TILE_C-aligned slice (the smallest bucket)
-    sliced = padded[:, :b] if padded.shape[1] > b else padded
-    for start, cut in ((0, 5), (3, 77), (100, 640), (650, 699)):
+    assert padded.shape[1] > b
+    sliced = padded[:, :b]
+    for start, cut in ((0, 5), (3, 77), (100, 640), (900, 2500), (2940, 2999)):
         params = jnp.asarray(np.array([start, cut, 0], dtype=np.int32))
         full = np.asarray(pk._counts_call(padded, params, interpret=True))[:n]
         part = np.asarray(pk._counts_call(sliced, params, interpret=True))[:n]
