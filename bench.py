@@ -64,11 +64,27 @@ def bench_tpu(m, sizes, orders, orients, chunk=20160):
     # warm up / compile with the same chunk shape as the timed run
     scorer = cost.BlockScorer(m, sizes, dtype=np.float32, device_sub=m_dev)
     scorer.score_batch_topk(orders, orients, chunk_orders=chunk)
+    # time REPS full scoring passes (each rebuilds the subset table,
+    # orderGenome-equivalent work) with the readbacks of all passes
+    # drained at the end: steady-state throughput, so one host<->device
+    # round trip amortizes over REPS instead of defining the result
+    # (the dev tunnel's RTT varies >100x intra-day — BENCHMARKS.md
+    # round-3 methodology note)
+    reps = 5
     start = time.time()
-    # include table build
-    scorer = cost.BlockScorer(m, sizes, dtype=np.float32, device_sub=m_dev)
-    idx, vals, _floor = scorer.score_batch_topk(orders, orients, chunk_orders=chunk)
-    elapsed = time.time() - start
+    finishes = []
+    for _ in range(reps):
+        scorer = cost.BlockScorer(m, sizes, dtype=np.float32, device_sub=m_dev)
+        handles, finish = scorer.score_batch_topk_async(
+            orders, orients, chunk_orders=chunk
+        )
+        finishes.append((handles, finish))
+    import jax as _jax
+
+    all_host = _jax.device_get([list(h) for h, _f in finishes])  # one transfer
+    outs = [finish(host) for (_h, finish), host in zip(finishes, all_host)]
+    elapsed = (time.time() - start) / reps
+    idx, vals, _floor = outs[-1]
     n_cand = len(orders) * len(orients)
     best = int(idx[int(np.argmax(vals))])
     return n_cand / elapsed, elapsed, best

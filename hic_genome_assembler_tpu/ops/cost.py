@@ -632,6 +632,8 @@ class SubsetScorer:
         pi_d, pj_d = jnp.asarray(pi.astype(np.int32)), jnp.asarray(pj.astype(np.int32))
         e_d = jnp.asarray(e_onehot)
         c0_d = jnp.asarray(self.c0, dtype=self._F_flat.dtype)
+        handles = []
+        meta = []
         for ofs in range(0, Bo, chunk_orders):
             chunk = orders[ofs : ofs + chunk_orders].astype(np.int32)
             n_real = chunk.shape[0]
@@ -642,12 +644,16 @@ class SubsetScorer:
                     [chunk, np.repeat(chunk[-1:], chunk_orders - n_real, axis=0)]
                 )
             chunk_d = self._put_batch(chunk)
-            scored = np.asarray(
+            handles.append(
                 _block_score_kernel(
                     self._F_flat, self._sizes_d, chunk_d, e_d, pi_d, pj_d,
                     c0_d, self.C + 1,
                 )
             )
+            meta.append((ofs, n_real))
+        # all chunks dispatched async; ONE transfer drains them (a
+        # blocking read per chunk costs a host round trip per chunk)
+        for scored, (ofs, n_real) in zip(jax.device_get(handles), meta):
             out[ofs : ofs + n_real] = scored[:n_real]
         return out.reshape(-1)
 
