@@ -294,6 +294,14 @@ class RankCounts:
             for s, c in missing:
                 self.fixed(s, c)
             return
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            # local backend: per-call launches cost microseconds and the
+            # pow2-padded batch only adds work
+            for s, c in missing:
+                self.fixed(s, c)
+            return
         # a fixed window (s, c) only reads columns < c - s, so group by
         # pow2 column need and dispatch on column-sliced views: neighbor
         # windows (the common case) touch a few thousand columns, not
@@ -371,47 +379,9 @@ class RankCounts:
 
     def prefetch_fixed(self, start: int, cuts: Sequence[int]) -> None:
         """Batch-load fixed counts for every (start, cut) not yet cached
-        — ONE device dispatch instead of len(cuts) round trips."""
-        missing = [int(c) for c in cuts if (int(start), int(c)) not in self._cache]
-        if not missing:
-            return
-        if self._host is not None:
-            for c in missing:
-                self.fixed(start, c)
-            return
-        if self._use_pallas:
-            from hic_genome_assembler_tpu.ops import pallas_kernels as pk
-
-            rows = pk.fixed_window_counts_many(
-                self._dev, [(int(start), c) for c in missing], n=self.n
-            )
-            for c, row in zip(missing, rows):
-                self._cache[(int(start), c)] = row
-        else:
-            import jax
-
-            if jax.devices()[0].platform == "cpu":
-                # local backend: per-call launches cost microseconds and
-                # the pow2-padded batch only adds work
-                for c in missing:
-                    self.fixed(start, c)
-                return
-            from hic_genome_assembler_tpu.ops import matrix as dev
-
-            # expensive link (tunneled TPU / multi-host mesh): one
-            # dispatch + one readback for the whole working set
-            # (K padded to the next power of two to bound executables)
-            K = len(missing)
-            Kp = 1 << max(K - 1, 0).bit_length()
-            params = np.zeros((Kp, 2), dtype=np.int32)
-            params[:K, 0] = int(start)
-            params[:K, 1] = missing
-            params[K:] = params[max(K - 1, 0)]
-            rows = np.asarray(
-                dev.fixed_window_counts_many(self._dev, jnp.asarray(params))
-            )[:, : self.n]
-            for c, row in zip(missing, rows[:K]):
-                self._cache[(int(start), c)] = row
+        — ONE device dispatch instead of len(cuts) round trips (width-
+        bucketed, see :meth:`prefetch_fixed_pairs`)."""
+        self.prefetch_fixed_pairs([(int(start), int(c)) for c in cuts])
 
 
 def find_matrix_pvalue_breakpoints(
