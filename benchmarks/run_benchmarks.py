@@ -462,12 +462,16 @@ def config3_part2_e2e(n_chroms: int = 25, scaffolds_per_chrom: int = 30) -> None
             group.extend([bid, name] for bid in s.bin_ids)
         chrom_list.append(group)
 
+    from hic_genome_assembler_tpu.utils import profiling
+
+    profiling.reset()
     start = time.time()
     order = part2_order.order_genome(
         genome.matrix, chrom_list, bins, genome.resolution,
         n_scaffolds=6, scan_scaffolds=5, plot_chrom=False,
     )
     wall = time.time() - start
+    profiling.print_summary()
 
     recovered = 0
     for c, group in enumerate(order):
