@@ -291,8 +291,11 @@ class RankCounts:
         if not missing:
             return
         if self._host is not None:
-            for s, c in missing:
-                self.fixed(s, c)
+            # host mode: per-call cost is already minimal and the lazy
+            # path only computes windows actually consulted — eagerly
+            # materializing the full speculative set here would do
+            # thousands of O(n^2) host scans for nothing (batching only
+            # amortizes DEVICE round trips)
             return
         import jax
 

@@ -776,6 +776,7 @@ def run_pipeline(
         run_fp = distributed.run_fingerprint(
             chromosome_group_file, n_scaffolds, scan_scaffolds, resolution,
             process_count,
+            data_files=(hic_pro_bed_file, hic_pro_bias_file, hic_pro_matrix_file),
         )
         try:
             os.remove(chromosome_order_file + f".shard{process_index}")

@@ -75,21 +75,33 @@ def shard_chromosomes(
     return [c for c in range(n_chroms) if c % process_count == process_index]
 
 
-def run_fingerprint(chromosome_group_file: str, *params) -> str:
+def run_fingerprint(
+    chromosome_group_file: str, *params, data_files: Sequence[str] = ()
+) -> str:
     """Content fingerprint binding a part-2 EP run to its inputs.
 
-    sha256 over the chromosome-group file BYTES plus every search
-    parameter: two runs share a fingerprint only when they would
-    produce byte-identical shards (the pipeline is deterministic), so
-    the shard barrier can accept a fingerprint-matched shard from disk
-    regardless of WHEN it was written — a leftover from a previous run
-    with identical inputs is a benign memoization, and any other
-    leftover is ignored (no mtime/clock heuristics)."""
+    sha256 over the chromosome-group file BYTES, the BYTES of every
+    ``data_files`` entry (the Hi-C contact inputs — bed/bias/matrix —
+    that shard contents also depend on), plus every search parameter:
+    two runs share a fingerprint only when they would produce
+    byte-identical shards (the pipeline is deterministic), so the shard
+    barrier can accept a fingerprint-matched shard from disk regardless
+    of WHEN it was written — a leftover from a previous run with
+    identical inputs is a benign memoization, and any other leftover is
+    ignored (no mtime/clock heuristics).  Omitting the contact data
+    from the hash would let a stale shard computed from DIFFERENT
+    matrix data (same group file + params) pass the barrier silently.
+    """
     import hashlib
 
     h = hashlib.sha256()
     with open(chromosome_group_file, "rb") as fh:
         h.update(fh.read())
+    for path in data_files:
+        h.update(b"\x00file\x00")
+        with open(path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 22), b""):
+                h.update(chunk)
     h.update(repr(params).encode())
     return h.hexdigest()[:32]
 

@@ -121,6 +121,30 @@ def test_stale_shards_do_not_poison_merge(ep_setup):
     assert merged == single_bytes
 
 
+def test_fingerprint_covers_contact_data(tmp_path):
+    """Two runs with the SAME group file + params but DIFFERENT contact
+    matrix data must get different fingerprints — otherwise a leftover
+    shard computed from other matrix data would pass the barrier and be
+    silently merged as this run's output (advisor r3, medium)."""
+    from hic_genome_assembler_tpu.parallel import distributed
+
+    groups = tmp_path / "groups.txt"
+    groups.write_text("### Chromosome group 1 ###\n1\tS1\t0\t100\t1.0\n")
+    bed = tmp_path / "a.bed"
+    bias = tmp_path / "a.bias"
+    bed.write_text("S1\t0\t100\t1\n")
+    bias.write_text("1.0\n")
+    mat_a = tmp_path / "a.matrix"
+    mat_b = tmp_path / "b.matrix"
+    mat_a.write_text("1\t1\t5.0\n")
+    mat_b.write_text("1\t1\t7.0\n")
+    fp = lambda m: distributed.run_fingerprint(
+        str(groups), 3, 2, 100, 2, data_files=(str(bed), str(bias), str(m))
+    )
+    assert fp(mat_a) != fp(mat_b)
+    assert fp(mat_a) == fp(mat_a)
+
+
 def test_staggered_launch_keeps_early_shard(ep_setup):
     """Rank 1 finishes its whole shard BEFORE rank 0 even starts (a
     cluster scheduler staggering launches): rank 0 must accept the
