@@ -20,6 +20,7 @@ _SO_PATH = os.path.join(_NATIVE_DIR, "libhicio.so")
 _SOURCES = [
     os.path.join(_NATIVE_DIR, "validpairs_scanner.cpp"),
     os.path.join(_NATIVE_DIR, "coo_parser.cpp"),
+    os.path.join(_NATIVE_DIR, "distance_transform.cpp"),
 ]
 
 _lib: Optional[ctypes.CDLL] = None
@@ -69,6 +70,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.distance_transform_f64.restype = None
+    lib.distance_transform_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int64,
     ]
     _lib = lib
     return _lib
@@ -145,3 +154,27 @@ def scan_validpairs(
         s1, s2, p1, p2 = line.split("\t")
         pair_dict[(s1, s2)].append([s1, s2, int(p1), int(p2)])
     return pair_dict
+
+
+def distance_transform_f64(matrix, row_sums):
+    """Fused threaded f64 distance transform (native/distance_transform.cpp):
+    out[i, j] = (1 - matrix[i, j] / row_sums[i]) + 1, bit-identical to the
+    numpy expression (same per-element IEEE op sequence; elementwise, so
+    threading cannot reorder anything).  Returns a new array."""
+    import numpy as np
+
+    lib = _load()
+    assert lib is not None
+    m = np.ascontiguousarray(matrix, dtype=np.float64)
+    rs = np.ascontiguousarray(np.ravel(row_sums), dtype=np.float64)
+    assert rs.shape[0] == m.shape[0]
+    out = np.empty_like(m)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.distance_transform_f64(
+        m.ctypes.data_as(dp),
+        rs.ctypes.data_as(dp),
+        out.ctypes.data_as(dp),
+        m.shape[0],
+        m.shape[1],
+    )
+    return out

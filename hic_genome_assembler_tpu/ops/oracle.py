@@ -13,8 +13,31 @@ import numpy as np
 
 
 def to_distance(matrix: np.ndarray) -> np.ndarray:
+    """Distance transform feeding UPGMA: (1 - row/rowsum) + 1
+    (convertMatrix, scaffoldToChromosomes.py:138-148).
+
+    Must stay f64-bit-identical to the reference in every mode — scipy
+    linkage consumes these values and the dendrogram is a byte-equality
+    target — and TPU hardware has no f64, so the fast path is the fused
+    threaded native kernel (native/distance_transform.cpp; same
+    per-element IEEE op sequence, ~10x the naive numpy expression at
+    16K).  Row sums stay on numpy: its pairwise-summation order is part
+    of the parity contract.  Fallback: in-place numpy (one temporary
+    instead of three, still bit-identical)."""
     row_sums = matrix.sum(axis=1, keepdims=True)
-    return (1.0 - matrix / row_sums) + 1.0
+    matrix = np.ascontiguousarray(matrix, dtype=np.float64)
+    if matrix.size >= (1 << 20):
+        try:
+            from hic_genome_assembler_tpu.io import native
+
+            if native.available():
+                return native.distance_transform_f64(matrix, row_sums)
+        except Exception:
+            pass
+    out = matrix / row_sums
+    np.subtract(1.0, out, out=out)
+    np.add(out, 1.0, out=out)
+    return out
 
 
 def to_similarity(matrix: np.ndarray, row_sums: np.ndarray) -> np.ndarray:

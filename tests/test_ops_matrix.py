@@ -126,3 +126,22 @@ def test_fixed_window_counts_many_matches_single():
     for k, (s, c) in enumerate(params):
         want = oracle.fixed_window_counts(rank, int(s), int(c))
         np.testing.assert_array_equal(batched[k], want)
+
+
+def test_native_distance_transform_bit_identical():
+    """The fused threaded native kernel feeding UPGMA
+    (native/distance_transform.cpp) must be BIT-identical to the numpy
+    expression at every shape — the dendrogram is a byte-equality target
+    (SURVEY §7 "bit-identical UPGMA"); also covers the in-place numpy
+    fallback inside oracle.to_distance."""
+    from hic_genome_assembler_tpu.io import native
+
+    rng = np.random.default_rng(11)
+    for n in (5, 127, 1030):  # odd sizes, one above the 1-thread cutoff
+        m = rng.random((n, n)) * 50
+        m = np.triu(m) + np.triu(m, 1).T
+        rs = m.sum(axis=1, keepdims=True)
+        want = (1.0 - m / rs) + 1.0
+        assert np.array_equal(oracle.to_distance(m), want)
+        if native.available():
+            assert np.array_equal(native.distance_transform_f64(m, rs), want)
