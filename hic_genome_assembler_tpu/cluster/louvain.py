@@ -47,8 +47,16 @@ def modularity(partition: np.ndarray, adj: np.ndarray) -> float:
     return q
 
 
-def _one_level(a_tilde: np.ndarray, k: np.ndarray, two_m: float, rng) -> np.ndarray:
-    """One Louvain level: local moves until no gain."""
+def _one_level_numpy(
+    a_tilde: np.ndarray, k: np.ndarray, two_m: float, rng
+) -> np.ndarray:
+    """One Louvain level: local moves until no gain (numpy oracle form).
+
+    Per visit the link-to-community weights are rebuilt with
+    ``np.bincount`` and the gain vector evaluated with numpy ops; the
+    production path (:func:`_one_level`) runs the native sweep kernel,
+    which reproduces this op sequence bit-for-bit — a seeded battery
+    asserts identical partitions (tests/test_hmm_louvain_oracle.py)."""
     n = a_tilde.shape[0]
     comm = np.arange(n)
     sigma_tot = k.copy()  # per-community degree sums
@@ -73,6 +81,49 @@ def _one_level(a_tilde: np.ndarray, k: np.ndarray, two_m: float, rng) -> np.ndar
             else:
                 comm[node] = c_old
             sigma_tot[comm[node]] += k[node]
+    return comm
+
+
+def _one_level(a_tilde: np.ndarray, k: np.ndarray, two_m: float, rng) -> np.ndarray:
+    """One Louvain level: local moves until no gain (production path).
+
+    Dispatches each sweep to the native kernel
+    (native/louvain_sweep.cpp): a fused scan+gain+argmax C loop that
+    reproduces the numpy oracle's per-element IEEE op sequence exactly
+    (scatter-add link accumulation in index order, multiply/divide/
+    subtract gain form, first-max argmax), so partitions are
+    bit-identical to :func:`_one_level_numpy` while removing the
+    ~60 us/visit of numpy dispatch overhead and per-visit allocations —
+    this is what bounds pure-modularity mode (min_frac==1,
+    scaffoldToChromosomes.py:541-544 semantics) at 16K
+    (BENCHMARKS.md round 4).
+
+    Design note vs SURVEY §2b's "modularity gains as device matvecs":
+    the sweep is inherently sequential — every accepted move changes
+    the comm/sigma state the next visit reads — so a device port pays
+    one dispatch round trip per VISIT (latency-bound at any scale),
+    and a batched Link-matrix formulation (update two columns per
+    accepted move) was measured 7x SLOWER at 8K than the scatter form:
+    column axpy on a row-major matrix misses cache per element while
+    bincount's scatter target (the few live communities) stays in L1.
+    The conscious deviation, per SURVEY §7's document-either-way rule:
+    gains stay host-side, in native code.
+    """
+    from hic_genome_assembler_tpu.io import native
+
+    n = a_tilde.shape[0]
+    if not native.available():
+        return _one_level_numpy(a_tilde, k, two_m, rng)
+    comm = np.arange(n, dtype=np.int64)
+    sigma_tot = np.ascontiguousarray(k, dtype=np.float64).copy()
+    a_c = np.ascontiguousarray(a_tilde, dtype=np.float64)
+    k_c = np.ascontiguousarray(k, dtype=np.float64)
+    scratch = np.empty(n, dtype=np.float64)
+    while native.louvain_sweep_f64(
+        a_c, k_c, float(two_m), comm, sigma_tot,
+        rng.permutation(n).astype(np.int64), scratch, _MIN_GAIN
+    ):
+        pass
     return comm
 
 

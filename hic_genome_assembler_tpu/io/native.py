@@ -21,6 +21,7 @@ _SOURCES = [
     os.path.join(_NATIVE_DIR, "validpairs_scanner.cpp"),
     os.path.join(_NATIVE_DIR, "coo_parser.cpp"),
     os.path.join(_NATIVE_DIR, "distance_transform.cpp"),
+    os.path.join(_NATIVE_DIR, "louvain_sweep.cpp"),
 ]
 
 _lib: Optional[ctypes.CDLL] = None
@@ -78,6 +79,18 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64,
         ctypes.c_int64,
+    ]
+    lib.louvain_sweep_f64.restype = ctypes.c_int
+    lib.louvain_sweep_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double),   # a_tilde
+        ctypes.POINTER(ctypes.c_double),   # k
+        ctypes.c_double,                   # two_m
+        ctypes.POINTER(ctypes.c_int64),    # comm (in/out)
+        ctypes.POINTER(ctypes.c_double),   # sigma (in/out)
+        ctypes.POINTER(ctypes.c_int64),    # perm
+        ctypes.POINTER(ctypes.c_double),   # scratch
+        ctypes.c_int64,                    # n
+        ctypes.c_double,                   # min_gain
     ]
     _lib = lib
     return _lib
@@ -178,3 +191,26 @@ def distance_transform_f64(matrix, row_sums):
         m.shape[1],
     )
     return out
+
+
+def louvain_sweep_f64(a_tilde, k, two_m, comm, sigma, perm, scratch, min_gain):
+    """One native Louvain local-move sweep (native/louvain_sweep.cpp).
+    Mutates ``comm`` and ``sigma`` in place; returns True if any move
+    was accepted.  Bit-identical to the numpy oracle sweep."""
+    lib = _load()
+    assert lib is not None
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int64)
+    return bool(
+        lib.louvain_sweep_f64(
+            a_tilde.ctypes.data_as(dp),
+            k.ctypes.data_as(dp),
+            float(two_m),
+            comm.ctypes.data_as(ip),
+            sigma.ctypes.data_as(dp),
+            perm.ctypes.data_as(ip),
+            scratch.ctypes.data_as(dp),
+            a_tilde.shape[0],
+            float(min_gain),
+        )
+    )

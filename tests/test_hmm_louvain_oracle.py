@@ -299,3 +299,51 @@ def test_louvain_reaches_bruteforce_optimum_small_graphs():
         part = louvain.best_partition(a, seed=seed)
         labels = np.asarray([part[i] for i in range(n)])
         assert louvain.modularity(labels, a) == pytest.approx(best_q, abs=1e-9)
+
+
+def test_native_louvain_sweep_bit_identical_to_numpy_oracle():
+    """The production native sweep (native/louvain_sweep.cpp) must
+    produce BIT-identical partitions to the numpy oracle sweep at the
+    multi-level best_partition granularity, across matrix families
+    engineered to stress tie-breaking (integer weights = exact float
+    ties; block structure = the realistic case; uniform noise)."""
+    from hic_genome_assembler_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+    def run(level_fn, adj, seed):
+        rng = np.random.default_rng(seed)
+        a = np.asarray(adj, dtype=np.float64)
+        mapping = np.arange(a.shape[0])
+        a_tilde, _k, _m = louvain._prep(a)
+        level_adj = a_tilde
+        while True:
+            comm = level_fn(
+                level_adj, level_adj.sum(axis=1), float(level_adj.sum()), rng
+            )
+            collapsed, relabel = louvain._aggregate(level_adj, comm)
+            mapping = relabel[mapping]
+            if collapsed.shape[0] == level_adj.shape[0]:
+                break
+            level_adj = collapsed
+        return mapping
+
+    rng0 = np.random.default_rng(0)
+    for trial in range(12):
+        n = int(rng0.integers(20, 200))
+        kind = trial % 3
+        if kind == 0:
+            a = rng0.random((n, n))
+        elif kind == 1:
+            labels = rng0.integers(0, int(rng0.integers(2, 6)), n)
+            a = 0.05 * rng0.random((n, n)) + 1.0 * (
+                labels[:, None] == labels[None, :]
+            )
+        else:  # integer weights: exact-tie-heavy
+            a = rng0.integers(0, 4, (n, n)).astype(float)
+        a = np.triu(a) + np.triu(a, 1).T
+        for seed in (0, 1):
+            m_np = run(louvain._one_level_numpy, a, seed)
+            m_nat = run(louvain._one_level, a, seed)
+            assert np.array_equal(m_np, m_nat), (trial, kind, n, seed)
