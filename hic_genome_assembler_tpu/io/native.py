@@ -22,6 +22,7 @@ _SOURCES = [
     os.path.join(_NATIVE_DIR, "coo_parser.cpp"),
     os.path.join(_NATIVE_DIR, "distance_transform.cpp"),
     os.path.join(_NATIVE_DIR, "louvain_sweep.cpp"),
+    os.path.join(_NATIVE_DIR, "argsort_rows.cpp"),
 ]
 
 _lib: Optional[ctypes.CDLL] = None
@@ -79,6 +80,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64,
         ctypes.c_int64,
+    ]
+    lib.argsort_rows_f64.restype = None
+    lib.argsort_rows_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
     ]
     lib.louvain_sweep_f64.restype = ctypes.c_int
     lib.louvain_sweep_f64.argtypes = [
@@ -214,3 +223,23 @@ def louvain_sweep_f64(a_tilde, k, two_m, comm, sigma, perm, scratch, min_gain):
             float(min_gain),
         )
     )
+
+
+def argsort_rows_f64(matrix, reverse=True):
+    """Row-parallel numpy-introsort-identical argsort
+    (native/argsort_rows.cpp).  Returns int64 (n_rows, n_cols); with
+    ``reverse`` each row is reversed (the rank-matrix ``[:, ::-1]``)."""
+    import numpy as np
+
+    lib = _load()
+    assert lib is not None
+    m = np.ascontiguousarray(matrix, dtype=np.float64)
+    out = np.empty(m.shape, dtype=np.int64)
+    lib.argsort_rows_f64(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        m.shape[0],
+        m.shape[1],
+        1 if reverse else 0,
+    )
+    return out

@@ -212,11 +212,22 @@ def run_pipeline(
     ``matrix_mode``:
       exact  (default) similarity/rank/log transforms on host in f64
              with reference-identical tie behavior — the parity mode;
-      device the O(N^2) transforms + rank argsort run on device in fast
-             precision (the distance transform feeding UPGMA stays host
-             f64 — linkage merges are decision-critical).  Counts still
-             return exact integers; p-value decisions can differ only
-             where fast-precision value ties reorder ranks.
+      device the expensive O(N^2 log N) rank ARGSORT runs on device
+             (plus the count kernels, as always); the similarity and
+             log transforms stay host f64 — they are cheap elementwise
+             passes, and computing similarity in f32 from the f32-cast
+             distance matrix was catastrophic cancellation
+             (sim = rs·(2−d) with d ≈ 2: the cast alone quantizes
+             small contacts to ulp(2) ≈ 2.4e-7, collapsing and
+             reordering thousands of rank entries — caught by
+             benchmarks/device_mode_parity.py).  The device sorts the
+             f32 CAST of the f64 similarity values with the
+             reference's exact tie rule (stable ascending argsort,
+             reversed), and a monotonic cast preserves order wherever
+             it has no collision — so device-mode decisions match
+             exact mode except where two distinct f64 similarities
+             collide at f32 (quantified per scale by the parity
+             harness; zero collisions on the side-by-side fixtures).
     """
     print("########################################")
     print("### Working on Part1 of the pipeline ###")
@@ -259,27 +270,23 @@ def run_pipeline(
             from hic_genome_assembler_tpu.ops import matrix as dev
 
             n_bins = adj.shape[0]
+            # host f64 similarity (cheap elementwise; f32 arithmetic
+            # here would cancel catastrophically — see docstring), then
+            # the order-preserving f32 cast feeds the device argsort
+            adj = oracle.to_similarity(adj, row_sums)
+            sim32 = adj.astype(np.float32)
             if mesh is not None:
-                # TP: row blocks over every device — similarity, rank
-                # argsort and log transform are per-row independent, so
-                # XLA runs them collective-free with all chips busy
-                # (replacing the serial O(N^2) transforms,
-                # scaffoldToChromosomes.py:138-183,1132)
+                # TP: row blocks over every device — the argsort is
+                # per-row independent, so XLA runs it collective-free
+                # with all chips busy (replacing the reference's
+                # serial rank build, scaffoldToChromosomes.py:1132)
                 from hic_genome_assembler_tpu.parallel import mesh as pm
 
-                adj_d, _ = pm.put_rows_padded(mesh, adj.astype(np.float32))
-                rs_d, _ = pm.put_vector_padded(
-                    mesh, row_sums.astype(np.float32)
-                )
+                sim_d, _ = pm.put_rows_padded(mesh, sim32)
             else:
-                adj_d = jnp.asarray(adj.astype(np.float32))
-                rs_d = jnp.asarray(row_sums, dtype=adj_d.dtype)
-            sim_d = dev.to_similarity(adj_d, rs_d)
+                sim_d = jnp.asarray(sim32)
             rank_mat = dev.rank_matrix_desc(sim_d)[:n_bins, :n_bins]
             counts = breakpoints.RankCounts(rank_mat, mesh=mesh)
-            adj_log_d = dev.log_transform(sim_d, log_base=10, plus_one=True)[
-                :n_bins, :n_bins
-            ]
         else:
             adj = oracle.to_similarity(adj, row_sums)
             rank_mat = oracle.rank_matrix_desc(adj)
@@ -288,10 +295,9 @@ def run_pipeline(
             counts, min_size=min_size, min_frac=modularity, psig=psig
         )
         cut_indices = breakpoints.filter_noisy_breakpoints(counts, initial, psig=psig)
-        if matrix_mode == "device":
-            adj = np.asarray(adj_log_d, dtype=np.float64)
-        else:
-            adj = oracle.log_transform(adj, log_base=10, plus_one=True)
+        # host f64 log either way: bit-equal Louvain-tail input in both
+        # modes (the log is an elementwise pass, not worth a round trip)
+        adj = oracle.log_transform(adj, log_base=10, plus_one=True)
     elif hmm:
         from hic_genome_assembler_tpu.cluster import hmm_cuts
 

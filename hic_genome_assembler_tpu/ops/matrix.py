@@ -85,13 +85,19 @@ def rank_matrix_desc(matrix: jnp.ndarray) -> jnp.ndarray:
     """Per-row argsort descending (the part1 rank-order matrix,
     scaffoldToChromosomes.py:1132).
 
-    Uses a stable sort on negated values; ties therefore resolve by
-    ascending column index, whereas the reference's
-    ``numpy.argsort(...)[:, ::-1]`` resolves ties by *descending* index
-    (introsort ascending, then reversed).  For bit-level parity with the
-    reference use :func:`hic_genome_assembler_tpu.ops.oracle.rank_matrix_desc`.
+    Mirrors the reference's construction exactly — stable ASCENDING
+    argsort, then column reverse — so tie groups resolve by DESCENDING
+    index just like ``numpy.argsort(...)[:, ::-1]``.  This matters far
+    beyond bit-aesthetics: every zero contact in a row lands in one
+    huge equal-similarity tie group, and an ascending tie rule (the
+    old ``argsort(-matrix)`` form) reordered that whole group,
+    cascading into different membership counts and different cuts
+    (benchmarks/device_mode_parity.py caught 16-vs-4 cut sets at 675
+    bins).  With this form, rank rows differ from the f64 oracle only
+    where f32 VALUES genuinely collide or reorder — the narrow
+    caveat models/part1_cluster.py documents.
     """
-    return jnp.argsort(-matrix, axis=1, stable=True).astype(jnp.int32)
+    return jnp.argsort(matrix, axis=1, stable=True)[:, ::-1].astype(jnp.int32)
 
 
 @jax.jit

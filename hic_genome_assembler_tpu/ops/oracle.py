@@ -59,9 +59,116 @@ def log_transform(matrix, log_base=10.0, reverse=False, plus_one=True):
     return out
 
 
+_NATIVE_ARGSORT_OK = None  # lazily probed once per process
+
+
+def _native_argsort_matches_numpy() -> bool:
+    """Probe whether the native introsort clone reproduces THIS numpy's
+    argsort tie order bit-for-bit on adversarial rows.
+
+    numpy's default argsort tie order is an implementation artifact
+    (classic npysort introsort on some builds, AVX-512 x86-simd-sort on
+    others — numpy 2.x dispatches by CPU), and the reference's rank
+    matrix inherits it, so the native clone is only usable where the
+    probe passes; elsewhere the fork-parallel numpy path below keeps
+    exact parity."""
+    global _NATIVE_ARGSORT_OK
+    if _NATIVE_ARGSORT_OK is not None:
+        return _NATIVE_ARGSORT_OK
+    try:
+        from hic_genome_assembler_tpu.io import native
+
+        if not native.available():
+            _NATIVE_ARGSORT_OK = False
+            return False
+        rng = np.random.default_rng(12345)
+        n = 2048
+        rows = np.stack([
+            rng.random(n),
+            rng.integers(0, 3, n).astype(np.float64),   # huge tie groups
+            np.zeros(n),                                 # all equal
+            np.arange(n, dtype=np.float64),
+            np.arange(n, 0, -1, dtype=np.float64),
+            np.concatenate([np.arange(n // 2), np.arange(n // 2)[::-1]]).astype(np.float64),
+            rng.integers(0, 2, n).astype(np.float64),
+        ])
+        want = np.argsort(rows, axis=1)[:, ::-1]
+        got = native.argsort_rows_f64(rows, reverse=True)
+        _NATIVE_ARGSORT_OK = bool(np.array_equal(want, got))
+    except Exception:
+        _NATIVE_ARGSORT_OK = False
+    return _NATIVE_ARGSORT_OK
+
+
+def _fork_argsort_desc(matrix: np.ndarray, workers: int) -> np.ndarray:
+    """Row-block argsort across forked processes, results via shared
+    memory.  Each block is sorted by the SAME numpy argsort as the
+    serial path (rows are sorted independently by numpy), so the output
+    is bit-identical; fork passes the input by COW, the int64 output
+    comes back through one SharedMemory segment."""
+    import multiprocessing as mp
+    from multiprocessing import shared_memory
+
+    n_rows, n_cols = matrix.shape
+    ctx = mp.get_context("fork")
+    shm = shared_memory.SharedMemory(
+        create=True, size=n_rows * n_cols * np.dtype(np.int64).itemsize
+    )
+    try:
+        def worker(lo: int, hi: int) -> None:
+            out = np.ndarray((n_rows, n_cols), dtype=np.int64, buffer=shm.buf)
+            out[lo:hi] = np.argsort(matrix[lo:hi], axis=1)[:, ::-1]
+
+        chunk = (n_rows + workers - 1) // workers
+        procs = []
+        for w in range(workers):
+            lo, hi = w * chunk, min(n_rows, (w + 1) * chunk)
+            if lo >= hi:
+                break
+            p = ctx.Process(target=worker, args=(lo, hi))
+            p.start()
+            procs.append(p)
+        for p in procs:
+            p.join()
+        if any(p.exitcode != 0 for p in procs):
+            raise RuntimeError("argsort worker failed")
+        out = np.ndarray((n_rows, n_cols), dtype=np.int64, buffer=shm.buf)
+        return out.copy()
+    finally:
+        shm.close()
+        shm.unlink()
+
+
 def rank_matrix_desc(matrix: np.ndarray) -> np.ndarray:
     """Reference-identical rank matrix: numpy default argsort reversed
-    (scaffoldToChromosomes.py:1132: ``argsort(adjMat, axis=1)[:, ::-1]``)."""
+    (scaffoldToChromosomes.py:1132: ``argsort(adjMat, axis=1)[:, ::-1]``).
+
+    The tie order of numpy's default (unstable) argsort is part of the
+    parity contract — window membership counts consume it wherever an
+    equal-value group (every zero contact, duplicated values) straddles
+    a window prefix — so acceleration must preserve it exactly.  Two
+    bit-identical fast paths, in preference order:
+
+    1. native row-parallel introsort clone (native/argsort_rows.cpp),
+       gated by a per-process probe that it matches THIS numpy build;
+    2. fork-parallel numpy over row blocks (same argsort per row).
+    """
+    matrix = np.ascontiguousarray(matrix)
+    # below ~16M elements fork/start overhead beats the parallel win
+    big = matrix.ndim == 2 and matrix.size >= (1 << 24)
+    if big and matrix.dtype == np.float64 and _native_argsort_matches_numpy():
+        from hic_genome_assembler_tpu.io import native
+
+        return native.argsort_rows_f64(matrix, reverse=True)
+    if big and hasattr(np, "argsort"):
+        import os as _os
+
+        workers = min(_os.cpu_count() or 1, 16)
+        if workers >= 2 and hasattr(_os, "fork"):
+            try:
+                return _fork_argsort_desc(matrix, workers)
+            except Exception:
+                pass
     return np.asarray(np.argsort(matrix, axis=1)[:, ::-1])
 
 

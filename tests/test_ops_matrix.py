@@ -145,3 +145,30 @@ def test_native_distance_transform_bit_identical():
         assert np.array_equal(oracle.to_distance(m), want)
         if native.available():
             assert np.array_equal(native.distance_transform_f64(m, rs), want)
+
+
+def test_rank_matrix_accel_paths_bit_identical():
+    """Both rank-build fast paths must reproduce numpy's default argsort
+    tie order bit-for-bit: the fork-parallel path by construction (same
+    numpy per row), the native introsort clone only where its probe
+    passes on this numpy build (AVX-512 dispatch changes tie order)."""
+    rng = np.random.default_rng(4)
+    m = rng.integers(0, 5, (257, 1031)).astype(np.float64)  # tie-heavy
+    want = np.argsort(m, axis=1)[:, ::-1]
+    assert np.array_equal(oracle._fork_argsort_desc(m, workers=2), want)
+    if oracle._native_argsort_matches_numpy():
+        from hic_genome_assembler_tpu.io import native
+
+        assert np.array_equal(native.argsort_rows_f64(m), want)
+
+
+def test_device_rank_matrix_reference_tie_rule():
+    """Device rank_matrix_desc must use the reference's tie rule —
+    stable ascending argsort REVERSED (ties resolve by descending
+    index), not stable-descending (ascending ties).  A fixture where
+    ties dominate makes the difference visible."""
+    m = np.zeros((4, 6), dtype=np.float32)
+    m[0, 2] = 1.0
+    got = np.asarray(dev.rank_matrix_desc(jnp.asarray(m)))
+    want = np.argsort(m.astype(np.float64), axis=1, kind="stable")[:, ::-1]
+    assert np.array_equal(got, want)
