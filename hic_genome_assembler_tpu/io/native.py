@@ -81,6 +81,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         ctypes.c_int64,
     ]
+    lib.similarity_transform_f64.restype = None
+    lib.similarity_transform_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int64,
+    ]
     lib.argsort_rows_f64.restype = None
     lib.argsort_rows_f64.argtypes = [
         ctypes.POINTER(ctypes.c_double),
@@ -241,5 +249,28 @@ def argsort_rows_f64(matrix, reverse=True):
         m.shape[0],
         m.shape[1],
         1 if reverse else 0,
+    )
+    return out
+
+
+def similarity_transform_f64(matrix, row_sums):
+    """Fused threaded f64 similarity inverse (same contract as
+    :func:`distance_transform_f64`): out[i, j] = rs[i]*(1-(m[i, j]-1)),
+    bit-identical to the numpy expression."""
+    import numpy as np
+
+    lib = _load()
+    assert lib is not None
+    m = np.ascontiguousarray(matrix, dtype=np.float64)
+    rs = np.ascontiguousarray(np.ravel(row_sums), dtype=np.float64)
+    assert rs.shape[0] == m.shape[0]
+    out = np.empty_like(m)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.similarity_transform_f64(
+        m.ctypes.data_as(dp),
+        rs.ctypes.data_as(dp),
+        out.ctypes.data_as(dp),
+        m.shape[0],
+        m.shape[1],
     )
     return out

@@ -41,10 +41,47 @@ def to_distance(matrix: np.ndarray) -> np.ndarray:
 
 
 def to_similarity(matrix: np.ndarray, row_sums: np.ndarray) -> np.ndarray:
-    return row_sums[:, None] * (1.0 - (matrix - 1.0))
+    """Similarity inverse rs·(1−(m−1)) (convertMatrix,
+    scaffoldToChromosomes.py:150-155).  Fast path = the fused threaded
+    native kernel (bit-identical: sub/sub/mul are basic IEEE ops, no
+    libm involved); fallback = in-place numpy, also bit-identical."""
+    rs = np.ravel(np.asarray(row_sums, dtype=np.float64))
+    matrix = np.ascontiguousarray(matrix, dtype=np.float64)
+    if matrix.ndim == 2 and matrix.size >= (1 << 20):
+        try:
+            from hic_genome_assembler_tpu.io import native
+
+            if native.available():
+                return native.similarity_transform_f64(matrix, rs)
+        except Exception:
+            pass
+    out = matrix - 1.0
+    np.subtract(1.0, out, out=out)
+    out *= rs[:, None]
+    return out
 
 
 def log_transform(matrix, log_base=10.0, reverse=False, plus_one=True):
+    matrix = np.asarray(matrix)
+    if matrix.ndim == 2 and matrix.size >= (1 << 24):
+        # np.log/np.power use numpy's own SIMD loops, which are NOT
+        # guaranteed ulp-identical to C libm — so the parallel path
+        # forks numpy itself over row blocks (rows are independent;
+        # bit-identical by construction, same trick as the rank build)
+        out = _fork_rowmap(
+            matrix,
+            lambda block: _log_transform_serial(
+                block, log_base=log_base, reverse=reverse, plus_one=plus_one
+            ),
+        )
+        if out is not None:
+            return out
+    return _log_transform_serial(
+        matrix, log_base=log_base, reverse=reverse, plus_one=plus_one
+    )
+
+
+def _log_transform_serial(matrix, log_base=10.0, reverse=False, plus_one=True):
     nz = matrix != 0.0
     out = np.zeros_like(matrix, dtype=np.float64)
     if not reverse:
@@ -57,6 +94,51 @@ def log_transform(matrix, log_base=10.0, reverse=False, plus_one=True):
         vals = powed - 1.0 if plus_one else powed
         out[nz] = vals[nz]
     return out
+
+
+def _fork_rowmap(matrix: np.ndarray, fn) -> "np.ndarray | None":
+    """Apply a row-independent f64 transform across forked processes
+    (COW input, one SharedMemory f64 output).  Returns None when fork
+    parallelism is unavailable or fails — callers fall back serial."""
+    import os as _os
+
+    workers = min(_os.cpu_count() or 1, 16)
+    if workers < 2 or not hasattr(_os, "fork"):
+        return None
+    try:
+        import multiprocessing as mp
+        from multiprocessing import shared_memory
+
+        n_rows, n_cols = matrix.shape
+        ctx = mp.get_context("fork")
+        shm = shared_memory.SharedMemory(
+            create=True, size=n_rows * n_cols * np.dtype(np.float64).itemsize
+        )
+        try:
+            def worker(lo: int, hi: int) -> None:
+                out = np.ndarray((n_rows, n_cols), dtype=np.float64, buffer=shm.buf)
+                out[lo:hi] = fn(matrix[lo:hi])
+
+            chunk = (n_rows + workers - 1) // workers
+            procs = []
+            for w in range(workers):
+                lo, hi = w * chunk, min(n_rows, (w + 1) * chunk)
+                if lo >= hi:
+                    break
+                p = ctx.Process(target=worker, args=(lo, hi))
+                p.start()
+                procs.append(p)
+            for p in procs:
+                p.join()
+            if any(p.exitcode != 0 for p in procs):
+                return None
+            out = np.ndarray((n_rows, n_cols), dtype=np.float64, buffer=shm.buf)
+            return out.copy()
+        finally:
+            shm.close()
+            shm.unlink()
+    except Exception:
+        return None
 
 
 _NATIVE_ARGSORT_OK = None  # lazily probed once per process

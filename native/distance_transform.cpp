@@ -66,4 +66,43 @@ void distance_transform_f64(const double* m, const double* row_sums,
     for (auto& th : threads) th.join();
 }
 
+// out[i*n+j] = row_sums[i] * (1.0 - (m[i*n+j] - 1.0))
+// The similarity inverse (convertMatrix similarity branch,
+// scaffoldToChromosomes.py:150-155): subtract, subtract-from-1,
+// multiply — basic IEEE ops only (no libm), so the C sequence is
+// bit-identical to the numpy expression per element; no mul+add pair
+// exists, so FMA contraction is impossible.  Same threading layout as
+// the distance kernel above.
+void similarity_transform_f64(const double* m, const double* row_sums,
+                              double* out, int64_t n_rows, int64_t n_cols) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int64_t n_threads = std::max<int64_t>(1, std::min<int64_t>(hw ? hw : 1, n_rows));
+    if (n_rows * n_cols < (int64_t)1 << 20) n_threads = 1;
+
+    auto worker = [&](int64_t row_lo, int64_t row_hi) {
+        for (int64_t i = row_lo; i < row_hi; ++i) {
+            const double rs = row_sums[i];
+            const double* src = m + i * n_cols;
+            double* dst = out + i * n_cols;
+            for (int64_t j = 0; j < n_cols; ++j) {
+                dst[j] = rs * (1.0 - (src[j] - 1.0));
+            }
+        }
+    };
+
+    if (n_threads == 1) {
+        worker(0, n_rows);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+    for (int64_t t = 0; t < n_threads; ++t) {
+        int64_t lo = t * chunk;
+        int64_t hi = std::min(n_rows, lo + chunk);
+        if (lo >= hi) break;
+        threads.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
 }  // extern "C"
