@@ -218,16 +218,23 @@ def run_pipeline(
              passes, and computing similarity in f32 from the f32-cast
              distance matrix was catastrophic cancellation
              (sim = rs·(2−d) with d ≈ 2: the cast alone quantizes
-             small contacts to ulp(2) ≈ 2.4e-7, collapsing and
-             reordering thousands of rank entries — caught by
-             benchmarks/device_mode_parity.py).  The device sorts the
-             f32 CAST of the f64 similarity values with the
-             reference's exact tie rule (stable ascending argsort,
-             reversed), and a monotonic cast preserves order wherever
-             it has no collision — so device-mode decisions match
-             exact mode except where two distinct f64 similarities
-             collide at f32 (quantified per scale by the parity
-             harness; zero collisions on the side-by-side fixtures).
+             small contacts to ulp(2) ≈ 2.4e-7 — caught by
+             benchmarks/device_mode_parity.py).  NOT a parity mode:
+             the device sorts the f32 cast of the f64 similarities
+             with a deterministic tie rule (stable ascending argsort,
+             reversed — the reference's construction), but the
+             reference's actual tie ORDER comes from numpy's unstable
+             introsort, a per-numpy-build artifact no device sort can
+             reproduce, and window membership counts consume that
+             order wherever an equal-value group (every zero contact,
+             duplicated values) straddles a window prefix.  Measured
+             divergence by scale: BENCHMARKS.md round 4 / committed
+             DEVICE_PARITY_r04.log.  ``exact`` reproduces the
+             reference bit-for-bit (same numpy argsort) and is the
+             accelerated default (native fused transforms +
+             fork-parallel rank build), so device mode is only for
+             deployments that explicitly trade reference parity for
+             device-resident ranking.
     """
     print("########################################")
     print("### Working on Part1 of the pipeline ###")
