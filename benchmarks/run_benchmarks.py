@@ -648,6 +648,66 @@ def config5(workdir: str = "/tmp/hic_bench_c5") -> None:
     _emit(5, "multi-resolution sweep (part2+4, replicated vs sharded)", results)
 
 
+def config_hmm_scale(n: int = 4096, n_chroms: int = 12) -> None:
+    """HMM-branch cut detection at scale: the part-1 ``hmm=True`` path
+    (identifyChromosomeGroupsHMM, scaffoldToChromosomes.py:868-942) on a
+    planted block fixture — iterative 2-state Gaussian HMM fits as
+    single-dispatch lax.while_loop EM (ops/gaussian_hmm.py).  Input
+    mirrors the pipeline's hmm branch exactly: distance -> similarity ->
+    log10(+1) host-f64 transforms on the planted-order matrix."""
+    from hic_genome_assembler_tpu.cluster import hmm_cuts
+    from hic_genome_assembler_tpu.io import hicpro
+    from hic_genome_assembler_tpu.ops import oracle
+    from hic_genome_assembler_tpu.utils import fixtures
+
+    rng = np.random.default_rng(7)
+    layout = []
+    for _ in range(n_chroms):
+        k = int(rng.integers(4, 8))
+        sizes = np.maximum(
+            (rng.pareto(2.0, k) * 15 * (n / 2900.0) + 7 * (n / 2900.0)).astype(int), 3
+        )
+        layout.append(tuple(int(s) for s in sizes))
+    genome = fixtures.make_genome(
+        chrom_scaffold_bins=tuple(layout), seed=7, noise=0.02,
+        cross_noise_frac=0.004,
+    )
+    m = genome.matrix.astype(np.float64)
+    row_sums = m.sum(axis=1)
+    bins = [
+        hicpro.Bin(bid, s.name, 0, 0, 1.0, float(row_sums[bid]))
+        for s in genome.scaffolds
+        for bid in s.bin_ids
+    ]
+    t0 = time.time()
+    adj = oracle.to_distance(m)
+    adj = oracle.to_similarity(adj, row_sums)
+    adj = oracle.log_transform(adj, log_base=10, plus_one=True)
+    t_prep = time.time() - t0
+    t0 = time.time()
+    cuts = hmm_cuts.identify_chromosome_groups_hmm(
+        adj, bins, min_size=5, modularity=0.05, convergence_rounds=5,
+        look_ahead=0.2, louvain_rounds=2,
+    )
+    t_hmm = time.time() - t0
+    true_bounds = np.cumsum([sum(c) for c in layout])[:-1]
+    matched = sum(
+        1 for b in true_bounds if any(abs(b - c) <= 5 for c in cuts)
+    )
+    _emit(
+        6,
+        "part1 HMM-branch cut detection at scale",
+        {
+            "n": genome.n_bins,
+            "planted_chromosomes": n_chroms,
+            "transform_prep_s": round(t_prep, 2),
+            "hmm_detection_s": round(t_hmm, 2),
+            "cuts_found": len(cuts),
+            "planted_boundaries_matched_pm5": int(matched),
+        },
+    )
+
+
 CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
 
 
@@ -671,7 +731,18 @@ def main() -> None:
         action="store_true",
         help="part 2 at the 16K north-star scale (~16K bins)",
     )
+    ap.add_argument(
+        "--hmm-scale",
+        type=int,
+        nargs="?",
+        const=4096,
+        default=None,
+        help="part-1 HMM-branch cut detection at N bins (default 4096)",
+    )
     args = ap.parse_args()
+    if args.hmm_scale:
+        config_hmm_scale(n=args.hmm_scale)
+        return
     if args.part1_e2e:
         config2_part1_e2e(n=4096 if args.small else 16384)
         return

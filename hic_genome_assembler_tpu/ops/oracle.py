@@ -99,7 +99,14 @@ def _log_transform_serial(matrix, log_base=10.0, reverse=False, plus_one=True):
 def _fork_rowmap(matrix: np.ndarray, fn) -> "np.ndarray | None":
     """Apply a row-independent f64 transform across forked processes
     (COW input, one SharedMemory f64 output).  Returns None when fork
-    parallelism is unavailable or fails — callers fall back serial."""
+    parallelism is unavailable or fails — callers fall back serial.
+
+    Fork-with-threads note: JAX (when imported) runs background
+    threads, so CPython warns on os.fork().  The children here touch
+    ONLY numpy on inherited arrays — never JAX, never the runtime —
+    which is the restricted pattern fork supports; the warning is
+    expected and benign.  If a deployment forbids fork, the serial
+    fallback is bit-identical."""
     import os as _os
 
     workers = min(_os.cpu_count() or 1, 16)
