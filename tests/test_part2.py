@@ -137,3 +137,26 @@ def test_part2_pipeline_end_to_end(tmp_path, ordered_genome):
     assert (tmp_path / "full.png").exists()
     # binID ordering file header
     assert (tmp_path / "plotorder.txt").read_text().startswith("#ScaffoldID\tHiCPro-BinID")
+
+
+def test_scheduler_window_invariance(ordered_genome, monkeypatch):
+    """The interleaved scheduler with the global cross-chromosome drain
+    must produce IDENTICAL orderings for any live-window size: window=1
+    is the fully serial schedule, the default overlaps up to 6
+    chromosomes — decisions may never depend on the schedule (each
+    coroutine only ever sees its own readbacks, in its own order)."""
+    genome = ordered_genome
+    bins = _truth_bins(genome)
+    groups = _chrom_groups_from_truth(genome)
+
+    def run(window):
+        monkeypatch.setenv("HIC_INTERLEAVE_WINDOW", str(window))
+        out = part2_order.order_genome(
+            genome.matrix, groups, bins, genome.resolution,
+            n_scaffolds=4, scan_scaffolds=3, plot_chrom=False,
+        )
+        return [[(s.name, s.orientation) for s in g] for g in out]
+
+    serial = run(1)
+    assert run(6) == serial
+    assert run(64) == serial
