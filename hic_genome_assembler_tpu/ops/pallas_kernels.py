@@ -169,8 +169,8 @@ def growing_window_counts(
     if n is None:
         n = rank_mat.shape[0]
         rank_mat = pad_rank(rank_mat.astype(jnp.int32))
-    params = np.array([int(start), 0, 1], dtype=np.int32)
-    return _counts_call(rank_mat, jnp.asarray(params), interpret=interpret)[:n]
+    params = _scalar_params(start, 0, 1)
+    return _counts_call(rank_mat, params, interpret=interpret)[:n]
 
 
 def fixed_window_counts(
@@ -181,5 +181,21 @@ def fixed_window_counts(
     if n is None:
         n = rank_mat.shape[0]
         rank_mat = pad_rank(rank_mat.astype(jnp.int32))
-    params = np.array([int(start), int(cut), 0], dtype=np.int32)
-    return _counts_call(rank_mat, jnp.asarray(params), interpret=interpret)[:n]
+    params = _scalar_params(start, cut, 0)
+    return _counts_call(rank_mat, params, interpret=interpret)[:n]
+
+
+def _scalar_params(start, cut, growing) -> jnp.ndarray:
+    """(start, cut, growing) as an int32[3] — concrete numpy when the
+    inputs are python/numpy ints (one executable per value-independent
+    shape), traced when any is a JAX tracer (so the kernels compose
+    under jit/fori_loop, e.g. the benchmark timing chains)."""
+    if isinstance(start, (int, np.integer)) and isinstance(cut, (int, np.integer)):
+        return jnp.asarray(np.array([int(start), int(cut), growing], dtype=np.int32))
+    return jnp.stack(
+        [
+            jnp.asarray(start, dtype=jnp.int32),
+            jnp.asarray(cut, dtype=jnp.int32),
+            jnp.asarray(growing, dtype=jnp.int32),
+        ]
+    )
