@@ -70,7 +70,8 @@ def bench_tpu(m, sizes, orders, orients, chunk=20160):
     # round trip amortizes over REPS instead of defining the result
     # (the dev tunnel's RTT varies >100x intra-day — BENCHMARKS.md
     # round-3 methodology note)
-    reps = 5
+    reps = 15  # one drain amortized over more passes: the tunnel RTT
+    #            moved the 5-rep number 93-131M evals/s run-to-run
     start = time.time()
     finishes = []
     for _ in range(reps):
