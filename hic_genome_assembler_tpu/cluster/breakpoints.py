@@ -514,7 +514,7 @@ def filter_noisy_breakpoints(
     # the rest mid-round below.  This replaces one blocking device
     # round trip per convergence round (~0.5 s each over the tunneled
     # link, 30.6 s of the 16K cut detection) with one upfront batch.
-    _DEPTH = 8
+    _DEPTH = 16
     _cuts = sorted(int(c) for c in altered)
     _pairs = [(0, c) for c in _cuts[:_DEPTH]]
     for si, s in enumerate(_cuts):
