@@ -184,7 +184,12 @@ def _run_interleaved(coros: List, max_live: int = None) -> List:
     import jax
 
     if max_live is None:
-        max_live = max(1, int(os.environ.get("HIC_INTERLEAVE_WINDOW", "6")))
+        # 10 live searches: with the global drain, passes scale ~
+        # total_steps / window until the longest chain dominates —
+        # window 6 -> 10 cut the 16K genome's drains ~250 -> ~170
+        # (HBM per live chromosome is one pair table + candidate
+        # batches; 10 stays far under a v5e's 16 GB at C ~ 700)
+        max_live = max(1, int(os.environ.get("HIC_INTERLEAVE_WINDOW", "10")))
     results = [None] * len(coros)
     pending = [None] * len(coros)
     live: List[int] = []
