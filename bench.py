@@ -123,21 +123,29 @@ def reference_baseline_rate(m, sizes, orders, orients):
     r3 weak #4).  The pinned rate was measured once with 100 evals
     (median of 10 batch rates); if the metadata file is absent the
     measurement reruns and repins it."""
+    meta = {}
     try:
         with open(_BASELINE_META) as fh:
-            return float(json.load(fh)["evals_per_s"]), True
-    except (OSError, KeyError, ValueError):
-        rate = bench_reference_style(m, sizes, orders, orients)
-        try:
-            with open(_BASELINE_META, "w") as fh:
-                json.dump(
-                    {"evals_per_s": round(rate, 2),
-                     "method": "median of 10x10-eval batches (auto re-pin)"},
-                    fh,
-                )
-        except OSError:
-            pass
-        return rate, False
+            meta = json.load(fh)
+        rate = float(meta["evals_per_s"])
+        # A zero/negative/non-finite pin would divide-by-zero or produce
+        # a nonsense ratio (ADVICE r4 #2): treat it as a cache miss.
+        if np.isfinite(rate) and rate > 0:
+            return rate, True, meta
+    except (OSError, KeyError, ValueError, TypeError):
+        pass
+    rate = bench_reference_style(m, sizes, orders, orients)
+    meta = {
+        "evals_per_s": round(rate, 2),
+        "method": "median of 10x10-eval batches (auto re-pin)",
+        "host": os.uname().nodename,
+    }
+    try:
+        with open(_BASELINE_META, "w") as fh:
+            json.dump(meta, fh)
+    except OSError:
+        pass
+    return rate, False, meta
 
 
 def main():
@@ -146,7 +154,7 @@ def main():
     orients = perms.orient_batch(len(sizes))      # 256 orientation combos
 
     rate_tpu, elapsed, best = bench_tpu(m, sizes, orders, orients)
-    rate_ref, pinned = reference_baseline_rate(m, sizes, orders, orients)
+    rate_ref, pinned, meta = reference_baseline_rate(m, sizes, orders, orients)
 
     result = {
         "metric": "brute-force permutation cost evaluations/sec/chip (C=2048, S=8, 5.16M candidates)",
@@ -157,6 +165,11 @@ def main():
             "tpu_wall_s": round(elapsed, 3),
             "cpu_reference_style_evals_per_s": round(rate_ref, 2),
             "baseline_pinned": pinned,
+            # vs_baseline compares a live TPU rate to a rate pinned once
+            # on a specific CPU host — echo that provenance so the ratio
+            # is never mistaken for a same-run, same-host comparison.
+            "baseline_host": meta.get("host", "unknown"),
+            "baseline_date": meta.get("measured_date", meta.get("date", "unpinned")),
             "candidates": len(orders) * len(orients),
             "best_candidate": best,
         },

@@ -3,8 +3,10 @@
 Runs the FRAMEWORK part 1 twice on identical side-by-side fixtures —
 ``matrix_mode="exact"`` (host f64, byte-equal to the reference at every
 directly-comparable scale: BENCHMARKS.md side-by-side table) vs
-``matrix_mode="device"`` (similarity + rank argsort + log transform on
-device in f32) — and byte-compares the four part-1 file-bus outputs.
+``matrix_mode="device"`` (the O(N^2 log N) rank ARGSORT on device in
+f32 — the similarity and log transforms stay host f64; see the
+matrix_mode table in models/part1_cluster.py) — and byte-compares the
+four part-1 file-bus outputs.
 Exact mode is the proven-reference-equal anchor, so device==exact here
 transitively means device==reference.
 

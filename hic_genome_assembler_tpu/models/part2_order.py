@@ -162,7 +162,7 @@ def _run_interleaved(coros: List, max_live: int = None) -> List:
     coroutine's control flow depends only on its own received values
     (asserted by the parity suites, which byte-compare the file bus).
 
-    At most ``max_live`` chromosomes are in flight at once (default 6,
+    At most ``max_live`` chromosomes are in flight at once (default 10,
     env HIC_INTERLEAVE_WINDOW): each live search keeps its pair table +
     candidate batches device-resident, so an unbounded window would make
     peak HBM scale with chromosome count, while latency hiding only

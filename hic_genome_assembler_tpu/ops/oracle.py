@@ -96,6 +96,32 @@ def _log_transform_serial(matrix, log_base=10.0, reverse=False, plus_one=True):
     return out
 
 
+def _fork_join_deadline(procs, n_elements: int) -> bool:
+    """Join forked workers with a deadline sized to the block being
+    processed; on timeout, kill every child so a fork-time-lock deadlock
+    (the documented CPython fork-with-threads hazard) cannot hang the
+    pipeline — callers then take the bit-identical serial path.
+
+    Budget: ~60 s floor + 60 s per 2^27 elements (a serial 16K x 16K f64
+    transform runs in well under a minute per worker share; the budget is
+    ~10x that so only a genuine hang trips it).  Returns True iff every
+    worker exited 0 within the deadline."""
+    import time as _time
+
+    budget = 60.0 + 60.0 * (n_elements / float(1 << 27))
+    deadline = _time.monotonic() + budget
+    for p in procs:
+        p.join(timeout=max(0.0, deadline - _time.monotonic()))
+    if any(p.exitcode is None for p in procs):
+        for p in procs:
+            if p.exitcode is None:
+                p.kill()
+        for p in procs:
+            p.join(timeout=5.0)
+        return False
+    return all(p.exitcode == 0 for p in procs)
+
+
 def _fork_rowmap(matrix: np.ndarray, fn) -> "np.ndarray | None":
     """Apply a row-independent f64 transform across forked processes
     (COW input, one SharedMemory f64 output).  Returns None when fork
@@ -105,8 +131,11 @@ def _fork_rowmap(matrix: np.ndarray, fn) -> "np.ndarray | None":
     threads, so CPython warns on os.fork().  The children here touch
     ONLY numpy on inherited arrays — never JAX, never the runtime —
     which is the restricted pattern fork supports; the warning is
-    expected and benign.  If a deployment forbids fork, the serial
-    fallback is bit-identical."""
+    expected and benign.  A child that nevertheless deadlocks on a lock
+    held at fork time is bounded by _fork_join_deadline (kill + serial
+    fallback), so the hot path can hang for at most the deadline, never
+    forever.  If a deployment forbids fork, the serial fallback is
+    bit-identical."""
     import os as _os
 
     workers = min(_os.cpu_count() or 1, 16)
@@ -135,9 +164,7 @@ def _fork_rowmap(matrix: np.ndarray, fn) -> "np.ndarray | None":
                 p = ctx.Process(target=worker, args=(lo, hi))
                 p.start()
                 procs.append(p)
-            for p in procs:
-                p.join()
-            if any(p.exitcode != 0 for p in procs):
+            if not _fork_join_deadline(procs, matrix.size):
                 return None
             out = np.ndarray((n_rows, n_cols), dtype=np.float64, buffer=shm.buf)
             return out.copy()
@@ -171,19 +198,27 @@ def _native_argsort_matches_numpy() -> bool:
             _NATIVE_ARGSORT_OK = False
             return False
         rng = np.random.default_rng(12345)
-        n = 2048
-        rows = np.stack([
-            rng.random(n),
-            rng.integers(0, 3, n).astype(np.float64),   # huge tie groups
-            np.zeros(n),                                 # all equal
-            np.arange(n, dtype=np.float64),
-            np.arange(n, 0, -1, dtype=np.float64),
-            np.concatenate([np.arange(n // 2), np.arange(n // 2)[::-1]]).astype(np.float64),
-            rng.integers(0, 2, n).astype(np.float64),
-        ])
-        want = np.argsort(rows, axis=1)[:, ::-1]
-        got = native.argsort_rows_f64(rows, reverse=True)
-        _NATIVE_ARGSORT_OK = bool(np.array_equal(want, got))
+        ok = True
+        # Probe at both a small width and the ~16K production width:
+        # numpy's argsort kernel dispatch is size- and CPU-sensitive
+        # (small-array cutoffs, AVX-512 x86-simd-sort), so passing at
+        # 2048 does not imply passing at 16384.
+        for n in (2048, 16384):
+            rows = np.stack([
+                rng.random(n),
+                rng.integers(0, 3, n).astype(np.float64),   # huge tie groups
+                np.zeros(n),                                 # all equal
+                np.arange(n, dtype=np.float64),
+                np.arange(n, 0, -1, dtype=np.float64),
+                np.concatenate([np.arange(n // 2), np.arange(n // 2)[::-1]]).astype(np.float64),
+                rng.integers(0, 2, n).astype(np.float64),
+            ])
+            want = np.argsort(rows, axis=1)[:, ::-1]
+            got = native.argsort_rows_f64(rows, reverse=True)
+            if not np.array_equal(want, got):
+                ok = False
+                break
+        _NATIVE_ARGSORT_OK = ok
     except Exception:
         _NATIVE_ARGSORT_OK = False
     return _NATIVE_ARGSORT_OK
@@ -217,10 +252,8 @@ def _fork_argsort_desc(matrix: np.ndarray, workers: int) -> np.ndarray:
             p = ctx.Process(target=worker, args=(lo, hi))
             p.start()
             procs.append(p)
-        for p in procs:
-            p.join()
-        if any(p.exitcode != 0 for p in procs):
-            raise RuntimeError("argsort worker failed")
+        if not _fork_join_deadline(procs, matrix.size):
+            raise RuntimeError("argsort worker failed or timed out")
         out = np.ndarray((n_rows, n_cols), dtype=np.int64, buffer=shm.buf)
         return out.copy()
     finally:

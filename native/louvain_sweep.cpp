@@ -59,19 +59,34 @@ int louvain_sweep_f64(const double* a_tilde, const double* k, double two_m,
         //  with two_m == 0 numpy overrides it to 0.0)
         const double base =
             two_m != 0.0 ? link[c_old] - (sigma[c_old] * kn) / two_m : 0.0;
+        // argmax replicates numpy's NaN rule exactly: the running max is
+        // updated on `!(g <= best)` (true for g > best AND for NaN), and
+        // the scan stops once the max is NaN — so a NaN gain wins at its
+        // FIRST index, like np.argmax (ADVICE r4 #3: plain `g > best`
+        // silently diverged from the oracle on non-finite input).
         int64_t best = 0;
         double best_gain;
         if (two_m != 0.0) {
             best_gain = link[0] - (sigma[0] * kn) / two_m;
-            for (int64_t c = 1; c < n; ++c) {
-                const double g = link[c] - (sigma[c] * kn) / two_m;
-                if (g > best_gain) { best_gain = g; best = c; }
+            if (best_gain == best_gain) {
+                for (int64_t c = 1; c < n; ++c) {
+                    const double g = link[c] - (sigma[c] * kn) / two_m;
+                    if (!(g <= best_gain)) {
+                        best_gain = g; best = c;
+                        if (g != g) break;
+                    }
+                }
             }
         } else {
             best_gain = c_old == 0 ? base : link[0];
-            for (int64_t c = 1; c < n; ++c) {
-                const double g = c == c_old ? base : link[c];
-                if (g > best_gain) { best_gain = g; best = c; }
+            if (best_gain == best_gain) {
+                for (int64_t c = 1; c < n; ++c) {
+                    const double g = c == c_old ? base : link[c];
+                    if (!(g <= best_gain)) {
+                        best_gain = g; best = c;
+                        if (g != g) break;
+                    }
+                }
             }
         }
 
