@@ -2,9 +2,15 @@
 
 Capability parity with plotContactMaps.py:15-91: plasma colormap
 (optionally reversed), percentile-clipped color range, Mb-labeled ticks,
-white group outlines from cut indices, Agg backend, save-to-png.
-Implemented directly on matplotlib (the reference's xarray wrapper adds
-nothing on TPU hosts).
+white group outlines from cut indices, Agg backend, save-to-png, and
+interactive display via ``show_plot`` (plotContactMaps.py:86-88 —
+notebook real-time viewing, orderGenome.py:600).  Implemented directly
+on matplotlib (the reference's xarray wrapper adds nothing on TPU
+hosts).  The backend defaults to Agg (headless TPU hosts); when
+``show_plot=True`` is requested under Agg, ``plt.show()`` is still
+called — matplotlib makes it a warning no-op — so notebook/GUI
+deployments that pre-select an interactive backend get the reference
+behavior without this module fighting their choice.
 """
 
 from __future__ import annotations
@@ -14,7 +20,8 @@ from typing import Optional, Sequence
 
 import matplotlib
 
-matplotlib.use("Agg")
+if matplotlib.get_backend().lower() not in ("qtagg", "tkagg", "macosx", "webagg", "nbagg", "module://matplotlib_inline.backend_inline"):
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -29,14 +36,17 @@ def plot_contact_map(
     low_pct: float = 1,
     high_pct: float = 98,
     reverse_color_map: str = "_r",
+    show_plot: bool = False,
     save_plot: Optional[str] = None,
     title: Optional[str] = None,
     title_suffix: Optional[str] = None,
 ) -> None:
-    """Render and optionally save the heatmap.
+    """Render and optionally save/display the heatmap.
 
     ``reverse_color_map='_r'`` (plasma_r) suits distance matrices;
     ``''`` suits similarity matrices (plotContactMaps.py:28).
+    ``show_plot`` mirrors plotContactMaps.py:86-88: display the figure
+    interactively (a no-op warning under the headless Agg backend).
     """
     adj_mat = np.asarray(adj_mat)
     n = len(adj_mat)
@@ -86,5 +96,7 @@ def plot_contact_map(
         ax.set_title(title, size=25)
     if save_plot:
         plt.savefig(save_plot)
+    if show_plot:
+        plt.show()
     plt.close(fig)
     print("Time to rearrange matrix and plot " + str(time.time() - start))
