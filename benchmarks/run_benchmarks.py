@@ -528,6 +528,23 @@ def config4(n_pairs: int = 2_000_000, workdir: str = "/tmp/hic_bench_c4") -> Non
     kept = part3_orient.read_valid_pair_file(path, keys)
     wall = time.time() - start
 
+    # threading-scaling evidence for the native scanner (r5: the scanner
+    # applies coo_parser's newline-sliced threaded design; ~9.5M lines/s
+    # in r4 single-threaded-buffered form)
+    scan_scaling = {}
+    if native_ok:
+        for th in (1, os.cpu_count() or 1):
+            os.environ["HIC_SCAN_THREADS"] = str(th)
+            k2 = {k: [] for k in keys}
+            t0 = time.time()
+            native.scan_validpairs(path, k2)
+            dt = time.time() - t0
+            scan_scaling[f"native_Mlines_per_s_t{th}"] = round(
+                n_pairs / dt / 1e6, 1
+            )
+        os.environ.pop("HIC_SCAN_THREADS", None)
+        assert k2 == kept, "threaded scan diverged from first scan"
+
     # COO matrix ingestion: native multithreaded parser vs pandas C parser
     coo_path = os.path.join(workdir, "ingest.matrix")
     n_trip = 8_000_000
@@ -567,6 +584,7 @@ def config4(n_pairs: int = 2_000_000, workdir: str = "/tmp/hic_bench_c4") -> Non
             "wall_s": round(wall, 3),
             "lines_per_s": round(n_pairs / wall, 0),
             "kept_pairs": sum(len(v) for v in kept.values()),
+            **scan_scaling,
             **coo_metrics,
         },
     )

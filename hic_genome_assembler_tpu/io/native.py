@@ -180,9 +180,15 @@ def scan_validpairs(
     finally:
         if out_len.value:
             lib.free_buffer(out_data)
+    # parse fully before mutating pair_dict, so a malformed blob raises
+    # without leaving partial appends behind (the caller then falls back
+    # to the pure-Python stream on a clean dict)
+    records = []
     for line in blob.splitlines():
         s1, s2, p1, p2 = line.split("\t")
-        pair_dict[(s1, s2)].append([s1, s2, int(p1), int(p2)])
+        records.append((s1, s2, int(p1), int(p2)))
+    for s1, s2, p1, p2 in records:
+        pair_dict[(s1, s2)].append([s1, s2, p1, p2])
     return pair_dict
 
 

@@ -159,7 +159,9 @@ def read_valid_pair_file(
 
         if native.available():
             return native.scan_validpairs(pair_file, pair_dict)
-    except ImportError:
+    except Exception:
+        # any native failure (missing toolchain, IO error, OOM in the
+        # scan) falls back to the identical pure-Python stream below
         pass
     examined = 0
     with open(pair_file, "r") as handle:
