@@ -292,21 +292,32 @@ def config2_part1_e2e(n: int = 16384, n_chroms: int = 25) -> None:
     # parity is pinned separately by the oracle tests.
     # shuffle rows so clustering has real work to do
     perm = rng.permutation(n)
-    m = m[np.ix_(perm, perm)]
+    m = oracle.permute_symmetric(m, perm)
     row_sums = m.sum(axis=1)
 
     t0 = time.time()
     d = oracle.to_distance(m)
     t_dist = time.time() - t0
+    # drop the raw matrix: the production pipeline rebinds adj at every
+    # stage, so freed 2.1 GB blocks are REUSED warm by the next stage's
+    # output (critical on lazily-faulted VM hosts — see utils/hostmem);
+    # holding every stage's matrix live forces fresh page faults instead
+    del m
     t0 = time.time()
     dendro = upgma.average_cluster_leaf_order(d, [str(i) for i in range(n)])
     t_upgma = time.time() - t0
     leaves = dendro["leaves"]
     t0 = time.time()
-    d = d[np.ix_(leaves, leaves)]
+    d = oracle.permute_symmetric(d, leaves)
+    t_perm = time.time() - t0
+    t1 = time.time()
     sim = oracle.to_similarity(d, row_sums[leaves])
+    t_sim = time.time() - t1
+    t1 = time.time()
     rank = oracle.rank_matrix_desc(sim)
+    t_argsort = time.time() - t1
     t_rank = time.time() - t0
+    del sim  # lifetime note above
 
     # matrixMode=device variant of the same stage (f32 on-device
     # similarity + rank argsort; the production flag in config.py).
@@ -360,6 +371,9 @@ def config2_part1_e2e(n: int = 16384, n_chroms: int = 25) -> None:
             "distance_f64_host_s": round(t_dist, 2),
             "upgma_s": round(t_upgma, 2),
             "similarity_plus_rank_s": round(t_rank, 2),
+            "rank_split_permute_s": round(t_perm, 2),
+            "rank_split_similarity_s": round(t_sim, 2),
+            "rank_split_argsort_s": round(t_argsort, 2),
             "similarity_plus_rank_device_s": round(t_rank_dev, 2),
             "device_transfer_s": round(t_transfer, 2),
             "cut_warmup_transfer_compile_s": round(t_cut_warm, 2),
@@ -730,6 +744,9 @@ CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
 
 
 def main() -> None:
+    from hic_genome_assembler_tpu.utils import hostmem
+
+    hostmem.tune()  # warm-page reuse for the multi-GB host matrices
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, choices=sorted(CONFIGS))
     ap.add_argument("--all", action="store_true")

@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     start = time.time()
+    from hic_genome_assembler_tpu.utils import hostmem
+
+    hostmem.tune()  # warm-page reuse for the multi-GB host matrices
     var = read_config_file_to_variables(args.config)
     if ensure_all_variables_are_set(var):
         sys.exit(1)
@@ -79,6 +82,7 @@ def main(argv=None) -> None:
             var["louvainRounds"], var["psig"], var["convergenceRounds"],
             var["lookAhead"], var["resolution"],
             mesh=rt.mesh, matrix_mode=var["matrixMode"],
+            hmm_mode=var["hmmMode"],
         )
     if args.part2:
         from hic_genome_assembler_tpu.models import part2_order as part2

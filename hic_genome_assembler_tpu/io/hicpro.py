@@ -169,7 +169,9 @@ def remove_rows(
         remove |= (bias > hi) | (bias < lo)
     keep = ~remove
     print("Rows/columns to remove " + str(int(remove.sum())))
-    pruned = matrix[np.ix_(keep, keep)]
+    from hic_genome_assembler_tpu.ops import oracle
+
+    pruned = oracle.permute_symmetric(matrix, keep)
     kept_bins = [b for b, k in zip(bin_list, keep) if k]
     for b, s in zip(kept_bins, pruned.sum(axis=1)):
         b.rowSum = float(s)

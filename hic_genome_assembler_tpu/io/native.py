@@ -23,6 +23,7 @@ _SOURCES = [
     os.path.join(_NATIVE_DIR, "distance_transform.cpp"),
     os.path.join(_NATIVE_DIR, "louvain_sweep.cpp"),
     os.path.join(_NATIVE_DIR, "argsort_rows.cpp"),
+    os.path.join(_NATIVE_DIR, "permute_f64.cpp"),
 ]
 
 _lib: Optional[ctypes.CDLL] = None
@@ -96,6 +97,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         ctypes.c_int64,
         ctypes.c_int,
+    ]
+    lib.permute_symmetric_f64.restype = None
+    lib.permute_symmetric_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double),   # m
+        ctypes.POINTER(ctypes.c_int64),    # order
+        ctypes.POINTER(ctypes.c_double),   # out
+        ctypes.c_int64,                    # n_src
+        ctypes.c_int64,                    # n_out
     ]
     lib.louvain_sweep_f64.restype = ctypes.c_int
     lib.louvain_sweep_f64.argtypes = [
@@ -212,6 +221,32 @@ def distance_transform_f64(matrix, row_sums):
         out.ctypes.data_as(dp),
         m.shape[0],
         m.shape[1],
+    )
+    return out
+
+
+def permute_symmetric_f64(matrix, order):
+    """Threaded symmetric permute/subset gather
+    out[i, j] = m[order[i], order[j]] (native/permute_f64.cpp) —
+    bit-identical to ``matrix[np.ix_(order, order)]`` (pure data
+    movement), ~10x on a 16K matrix.  ``order`` may select a subset
+    (zero-row pruning) or a full permutation."""
+    import numpy as np
+
+    lib = _load()
+    assert lib is not None
+    m = np.ascontiguousarray(matrix, dtype=np.float64)
+    n = m.shape[0]
+    assert m.shape == (n, n)
+    o = np.ascontiguousarray(order, dtype=np.int64)
+    n_out = o.shape[0]
+    out = np.empty((n_out, n_out), dtype=np.float64)
+    lib.permute_symmetric_f64(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        o.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        n_out,
     )
     return out
 

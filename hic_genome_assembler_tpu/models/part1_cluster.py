@@ -80,7 +80,7 @@ def modularity_remaining_data(
         cut_indices.append(cut_indices[-1] + group_sizes[rg])
 
     new_order = list(range(start)) + remaining_order
-    adj = adj[np.ix_(new_order, new_order)]
+    adj = oracle.permute_symmetric(adj, new_order)
     bin_list = [bin_list[i] for i in new_order]
 
     if cut_indices[0] == 0:
@@ -205,6 +205,7 @@ def run_pipeline(
     louvain_seed: int = 0,
     mesh=None,
     matrix_mode: str = "exact",
+    hmm_mode: str = "fast",
 ) -> None:
     """``mesh``: optional jax.sharding.Mesh — the rank-count kernels then
     run 2-D sharded over it (integer counts: bit-identical to local).
@@ -232,9 +233,16 @@ def run_pipeline(
              DEVICE_PARITY_r04.log.  ``exact`` reproduces the
              reference bit-for-bit (same numpy argsort) and is the
              accelerated default (native fused transforms +
-             fork-parallel rank build), so device mode is only for
+             thread-parallel rank build), so device mode is only for
              deployments that explicitly trade reference parity for
              device-resident ranking.
+
+    ``hmm_mode`` (hmm=True branch only):
+      fast   (default) shape-bucketed masked EM, fit+Viterbi fused into
+             one dispatch per HMM round (ops/gaussian_hmm.py) — kills
+             the per-shape recompile/sync storm at scale;
+      exact  the unpadded rounds-2-4 EM path (per-shape executables) for
+             bit-continuity with earlier recorded outputs.
     """
     print("########################################")
     print("### Working on Part1 of the pipeline ###")
@@ -255,7 +263,7 @@ def run_pipeline(
     filebus.write_dendrogram_leaf_order(dendro["ivl"], dendro["leaves"], dendrogram_order_file)
     dendro = filebus.read_dendrogram_leaf_order(dendrogram_order_file)
     leaves = dendro["leaves"]
-    adj = adj[np.ix_(leaves, leaves)]
+    adj = oracle.permute_symmetric(adj, leaves)
     bin_list = [bin_list[i] for i in leaves]
     if avg_cluster_plot:
         from hic_genome_assembler_tpu.viz import plot as plot_mod
@@ -318,6 +326,7 @@ def run_pipeline(
             convergence_rounds=convergence_rounds,
             look_ahead=look_ahead,
             louvain_rounds=louvain_rounds,
+            hmm_mode=hmm_mode,
         )
     else:
         cut_indices = []

