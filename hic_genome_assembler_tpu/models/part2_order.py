@@ -425,6 +425,18 @@ def _scan_coro(
 
     W = chrom.cand_width  # bucketed width: executables shared across chroms
 
+    # Vectorized candidate construction (VERDICT r4 weak #4): the window
+    # permutation layout is pure combinatorics, so the [B_w, w]
+    # window-relative source-index tensor and the tiled orientation
+    # block are computed ONCE per coroutine; each speculation block then
+    # costs n_win fancy-indexed block assignments instead of
+    # n_win * |orders_w| Python loop iterations with per-element list
+    # indexing.
+    idx_w = np.repeat(np.asarray(orders_w, dtype=np.int64), R, axis=0)  # [B_w, w]
+    orient_blk = np.tile(
+        np.asarray(orients_w, dtype=np.int32), (len(orders_w), 1)
+    )  # [B_w, w]
+
     def _window_candidates(i0: int, n_win: int) -> Tuple[np.ndarray, np.ndarray]:
         base_o = np.full(W, chrom.pad_id, dtype=np.int32)
         base_o[:S] = order_ids
@@ -435,11 +447,8 @@ def _scan_coro(
         for k in range(n_win):
             i = i0 + k
             blk = slice(k * B_w, (k + 1) * B_w)
-            o_blk = np.tile(base_o[None, i : i + w], (B_w, 1))
-            for oi, o in enumerate(orders_w):
-                o_blk[oi * R : (oi + 1) * R] = [order_ids[i + kk] for kk in o]
-            cand_orders[blk, i : i + w] = o_blk
-            cand_orients[blk, i : i + w] = np.tile(orients_w, (len(orders_w), 1))
+            cand_orders[blk, i : i + w] = base_o[i + idx_w]
+            cand_orients[blk, i : i + w] = orient_blk
         return cand_orders, cand_orients
 
     # f64 re-score cache keyed by the candidate's FULL ordering: the
@@ -478,7 +487,10 @@ def _scan_coro(
                     full_r[iw : iw + w] = list(map(int, r))
                     key = (tuple(full_o), tuple(full_r))
                     if key not in f64_cache:
+                        profiling.count("part2/f64_rescore_miss")
                         f64_cache[key] = sub.score_host(full_o, full_r)
+                    else:
+                        profiling.count("part2/f64_rescore_hit")
                     return f64_cache[key]
 
                 cmax = float(costs.max())

@@ -32,6 +32,14 @@ def timer(name: str) -> Iterator[None]:
         _REGISTRY[name][1] += 1
 
 
+_COUNTERS: Dict[str, int] = defaultdict(int)
+
+
+def count(name: str, n: int = 1) -> None:
+    """Accumulate an event counter (printed alongside the timers)."""
+    _COUNTERS[name] += n
+
+
 def summary() -> Dict[str, dict]:
     return {
         name: {"total_s": round(total, 4), "calls": calls}
@@ -39,13 +47,20 @@ def summary() -> Dict[str, dict]:
     }
 
 
+def counters() -> Dict[str, int]:
+    return dict(sorted(_COUNTERS.items()))
+
+
 def reset() -> None:
     _REGISTRY.clear()
+    _COUNTERS.clear()
 
 
 def print_summary() -> None:
     for name, stats in summary().items():
         print(f"[timer] {name}: {stats['total_s']}s over {stats['calls']} call(s)")
+    for name, n in counters().items():
+        print(f"[counter] {name}: {n}")
 
 
 @contextlib.contextmanager
