@@ -48,6 +48,7 @@ def hmm_chromosomes(
     convergence_rounds: int = 8,
     look_ahead=False,
     seed: int = 0,
+    hmm_mode: str = "fast",
 ) -> List[int]:
     """One boundary search from the last cut (hmmChromosomes,
     scaffoldToChromosomes.py:754-819)."""
@@ -70,7 +71,7 @@ def hmm_chromosomes(
         if X.shape[1] < min_size:
             cut_ind = look_ahead
         else:
-            model = GaussianHMM2(seed=seed).fit(X)
+            model = GaussianHMM2(seed=seed, mode=hmm_mode).fit(X)
             hidden = model.predict(X)
             cut_ind = identify_boundary(hidden, cut_indices, switch_count=min_size)
         if cut_ind != prev_cut:
@@ -97,6 +98,7 @@ def identify_chromosome_groups_hmm(
     louvain_rounds: int = 20,
     prev_cut_inds: Optional[List[int]] = None,
     seed: int = 0,
+    hmm_mode: str = "fast",
 ) -> List[int]:
     """Outer loop (identifyChromosomeGroupsHMM,
     scaffoldToChromosomes.py:868-942)."""
@@ -121,6 +123,7 @@ def identify_chromosome_groups_hmm(
             convergence_rounds=convergence_rounds,
             look_ahead=look_ahead,
             seed=seed,
+            hmm_mode=hmm_mode,
         )
         print("Cut indices =  " + str(cut_indices))
         if cut_indices[-1] == 0:
@@ -179,6 +182,7 @@ def identify_chromosome_groups_hmm(
                 louvain_rounds=20,
                 prev_cut_inds=cut_indices if cut_indices else [0],
                 seed=seed,
+                hmm_mode=hmm_mode,
             )
     print(
         "Total time to identify chromosome boundries = "

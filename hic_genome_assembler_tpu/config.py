@@ -92,6 +92,11 @@ def default_variables() -> Dict[str, Any]:
             # reference-identical tie behavior, "device" = fast on-device
             # transforms + rank argsort.
             "matrixMode": "exact",
+            # Framework extension: HMM-branch EM implementation —
+            # "fast" = shape-bucketed masked EM + fused Viterbi (one
+            # dispatch/round), "exact" = unpadded per-shape EM
+            # (rounds-2-4 bit-continuity).
+            "hmmMode": "fast",
         }
     )
     return var
@@ -188,6 +193,14 @@ def read_config_file_to_variables(config_file: str) -> Dict[str, Any]:
                     print(
                         'WARNING... matrixMode must be "exact" or "device"... '
                         'keeping the default of "exact"'
+                    )
+            elif arg == "hmmMode":
+                if val in ("fast", "exact"):
+                    var["hmmMode"] = val
+                else:
+                    print(
+                        'WARNING... hmmMode must be "fast" or "exact"... '
+                        'keeping the default of "fast"'
                     )
             elif arg == "lookAhead":
                 try:
