@@ -509,6 +509,168 @@ def config3_part2_e2e(n_chroms: int = 25, scaffolds_per_chrom: int = 30) -> None
 
 
 # ---------------------------------------------------------------------------
+# north star — ONE full-pipeline run at 16K (part1 -> part2 -> part3 -> part4)
+# ---------------------------------------------------------------------------
+
+
+def config_e2e_16k(workdir: str = "/tmp/hic_bench_e2e16k") -> None:
+    """The BASELINE.md north-star artifact as a SINGLE run (VERDICT r4
+    next #1): the real run_pipeline chain part1 -> part2 -> part3 ->
+    part4 (the reference's full ``-part1 -part2 -part3 -part4``
+    composition, run_hicAssembler.py:273-299) on the same ~17K-bin
+    planted fixture the part-2 16K benchmark uses (25 chromosomes x 52
+    pareto-sized scaffolds), through HiC-Pro files on disk and the file
+    bus, ending in an emitted FASTA.  Records total wall + per-part
+    split + planted-truth checks (groups, per-chromosome orders up to
+    reversal, FASTA assembly stats)."""
+    from hic_genome_assembler_tpu.io import fasta, filebus
+    from hic_genome_assembler_tpu.models import (
+        part1_cluster,
+        part2_order,
+        part3_orient,
+        part4_fasta,
+    )
+    from hic_genome_assembler_tpu.utils import fixtures
+
+    os.makedirs(workdir, exist_ok=True)
+    rng = np.random.default_rng(3)
+    layout = []
+    for _ in range(25):
+        sizes = np.maximum((rng.pareto(2.0, 52) * 12 + 2).astype(int), 1)
+        layout.append(tuple(int(v) for v in sizes))
+    t0 = time.time()
+    genome = fixtures.make_genome(
+        chrom_scaffold_bins=tuple(layout), seed=3, noise=0.003,
+        cross_noise_frac=0.0,
+    )
+    paths = fixtures.write_hicpro_files(genome, os.path.join(workdir, "hicpro"))
+    t_fixture = time.time() - t0
+    files = lambda n: os.path.join(workdir, n)  # noqa: E731
+
+    start_all = time.time()
+    start = time.time()
+    part1_cluster.run_pipeline(
+        hic_pro_bed_file=paths["bed"],
+        hic_pro_bias_file=paths["bias"],
+        hic_pro_matrix_file=paths["matrix"],
+        hic_pro_scaff_size_file=paths["sizes"],
+        dendrogram_order_file=files("dendro.txt"),
+        avg_cluster_plot="",
+        avg_cluster_plot_outlined="",
+        bin_group_file=files("bingroups.txt"),
+        assessment_file=files("assessment.txt"),
+        chromosome_group_file=files("chromgroups.txt"),
+        hyper_geom=True,
+        hmm=False,
+        min_size=5,
+        modularity=0,
+        louvain_rounds=3,
+        psig=0.05,
+        convergence_rounds=10,
+        look_ahead=0.5,
+        resolution=genome.resolution,
+        louvain_seed=0,
+    )
+    t_part1 = time.time() - start
+
+    start = time.time()
+    part2_order.run_pipeline(
+        hic_pro_bed_file=paths["bed"],
+        hic_pro_bias_file=paths["bias"],
+        hic_pro_matrix_file=paths["matrix"],
+        chromosome_group_file=files("chromgroups.txt"),
+        chromosome_order_file=files("chromorder.txt"),
+        save_plots_directory="",
+        chromosome_plot_suffix="",
+        full_genome_plot="",
+        full_genome_plot_title="",
+        plot_order_file=files("plotorder.txt"),
+        n_scaffolds=6,
+        scan_scaffolds=5,
+        resolution=genome.resolution,
+    )
+    t_part2 = time.time() - start
+
+    start = time.time()
+    part3_orient.run_pipeline(
+        chromosome_order_file=files("chromorder.txt"),
+        scaff_size_file=paths["sizes"],
+        restriction_site_file=paths["restriction"],
+        valid_pair_file=paths["validpairs"],
+        final_ordering_file=files("final_order.txt"),
+        length_cutoff=genome.resolution,
+        resolution=genome.resolution,
+    )
+    t_part3 = time.time() - start
+
+    start = time.time()
+    part4_fasta.run_pipeline(
+        original_fasta_file=paths["fasta"],
+        final_ordering_file=files("final_order.txt"),
+        assembled_fasta_file=files("assembled.fasta"),
+    )
+    t_part4 = time.time() - start
+    t_total = time.time() - start_all
+
+    # --- planted truth checks ------------------------------------------
+    got_groups = []
+    for chrom in filebus.read_chroms_from_file(files("chromgroups.txt")):
+        got_groups.append(frozenset(row[1] for row in chrom))
+    want_sets = {frozenset(v): c for c, v in genome.true_groups().items()}
+    groups_exact = sorted(got_groups, key=sorted) == sorted(
+        want_sets, key=sorted
+    )
+
+    ordering = filebus.read_chromosome_ordering(files("final_order.txt"))
+    orders_recovered = 0
+    orders_total = 0
+    for group in ordering:
+        names = [row[0] for row in group]
+        c = want_sets.get(frozenset(names))
+        if c is None:
+            continue  # group does not match a planted chromosome
+        orders_total += 1
+        want = [name for name, _o in genome.true_order(c)]
+        if names == want or names == want[::-1]:
+            orders_recovered += 1
+
+    entries = fasta.read_fasta(files("assembled.fasta"))
+    sizes_of = {s.name: s.size_bp for s in genome.scaffolds}
+    lengths_ok = 0
+    for i, group in enumerate(ordering):
+        name = f"Chr_{i + 1}"
+        if name not in entries:
+            continue
+        want_len = sum(sizes_of[r[0]] for r in group) + 100 * (len(group) - 1)
+        if len(entries[name]) == want_len:
+            lengths_ok += 1
+    total_bp = sum(len(v) for v in entries.values())
+
+    _emit(
+        7,
+        "FULL pipeline part1->part2->part3->part4 @ 16K (north star, one run)",
+        {
+            "bins": genome.n_bins,
+            "scaffolds": len(genome.scaffolds),
+            "planted_chromosomes": 25,
+            "fixture_prep_s": round(t_fixture, 2),
+            "part1_s": round(t_part1, 2),
+            "part2_s": round(t_part2, 2),
+            "part3_s": round(t_part3, 2),
+            "part4_s": round(t_part4, 2),
+            "total_s": round(t_total, 2),
+            "groups_match_truth": bool(groups_exact),
+            "groups_found": len(got_groups),
+            "orders_recovered": orders_recovered,
+            "orders_checked": orders_total,
+            "assembled_entries": len(entries),
+            "assembled_total_bp": total_bp,
+            "entry_lengths_ok": lengths_ok,
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
 # config 4 — part3 validPairs streaming
 # ---------------------------------------------------------------------------
 
@@ -767,6 +929,10 @@ def main() -> None:
         help="part 2 at the 16K north-star scale (~16K bins)",
     )
     ap.add_argument(
+        "--e2e-16k", action="store_true",
+        help="ONE full-pipeline part1->2->3->4 run at ~17K bins (north star)",
+    )
+    ap.add_argument(
         "--hmm-scale",
         type=int,
         nargs="?",
@@ -775,6 +941,9 @@ def main() -> None:
         help="part-1 HMM-branch cut detection at N bins (default 4096)",
     )
     args = ap.parse_args()
+    if args.e2e_16k:
+        config_e2e_16k()
+        return
     if args.hmm_scale:
         config_hmm_scale(n=args.hmm_scale)
         return
