@@ -133,6 +133,9 @@ def run_scale(target_bins: int, check_ties: bool) -> dict:
 
 
 def main():
+    from hic_genome_assembler_tpu.utils import hostmem
+
+    hostmem.tune()
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--sizes", type=int, nargs="+",

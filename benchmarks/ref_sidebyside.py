@@ -231,6 +231,9 @@ def ref_part2_eval_rate(C: int = 420) -> dict:
 
 
 def main():
+    from hic_genome_assembler_tpu.utils import hostmem
+
+    hostmem.tune()  # warm-page reuse (fair: one process, both sides)
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[2900, 4700, 6500])
     ap.add_argument("--part2-rate", action="store_true")

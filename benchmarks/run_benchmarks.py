@@ -97,8 +97,17 @@ def config1(workdir: str = "/tmp/hic_bench_c1") -> None:
         chromosome_group_file=files("chromgroups.txt"),
         hyper_geom=True,
         hmm=False,
-        min_size=5,
-        modularity=0,
+        # min_size=15: the reference's config docs recommend 5-15 for
+        # Hi-C data (hicAssembler_config.txt:57); at 5 the growing
+        # window legitimately cuts UPGMA sub-clusters inside the
+        # largest planted chromosomes (30 groups / 25 planted).
+        # modularity=.05 (the reference working example's value): the
+        # growing-window scan fragments the LAST chromosome in
+        # dendrogram order (the window-decay fallback at the matrix
+        # end); the Louvain tail is the reference's own mechanism for
+        # resolving exactly that leftover.
+        min_size=15,
+        modularity=0.05,
         louvain_rounds=3,
         psig=0.05,
         convergence_rounds=10,
@@ -562,8 +571,17 @@ def config_e2e_16k(workdir: str = "/tmp/hic_bench_e2e16k") -> None:
         chromosome_group_file=files("chromgroups.txt"),
         hyper_geom=True,
         hmm=False,
-        min_size=5,
-        modularity=0,
+        # min_size=15: the reference's config docs recommend 5-15 for
+        # Hi-C data (hicAssembler_config.txt:57); at 5 the growing
+        # window legitimately cuts UPGMA sub-clusters inside the
+        # largest planted chromosomes (30 groups / 25 planted).
+        # modularity=.05 (the reference working example's value): the
+        # growing-window scan fragments the LAST chromosome in
+        # dendrogram order (the window-decay fallback at the matrix
+        # end); the Louvain tail is the reference's own mechanism for
+        # resolving exactly that leftover.
+        min_size=15,
+        modularity=0.05,
         louvain_rounds=3,
         psig=0.05,
         convergence_rounds=10,
