@@ -106,3 +106,48 @@ def test_part1_pipeline_hmm_branch_recovers_groups(tmp_path):
     got = sorted(sorted({name for _b, name in grp}) for grp in groups)
     want = sorted(sorted(names) for names in g.true_groups().values())
     assert got == want, (got, want)
+
+
+def test_hmm_fast_and_exact_modes_agree_on_segmentation():
+    """fast (shape-bucketed masked EM, fused Viterbi) and exact
+    (unpadded) modes are different XLA programs, so floats differ in
+    ULPs — but on a well-separated 2-state signal the segmentation
+    decision must be identical."""
+    rng = np.random.default_rng(5)
+    X = np.concatenate(
+        [rng.normal(0.0, 0.3, (40, 6)), rng.normal(4.0, 0.3, (35, 6))]
+    )
+    fast = GaussianHMM2(seed=0, mode="fast").fit(X)
+    exact = GaussianHMM2(seed=0, mode="exact").fit(X)
+    assert np.array_equal(fast.predict(X), exact.predict(X))
+
+
+def test_hmm_fast_predict_cache_and_miss():
+    """fit() caches the fused-decode path; predict on the SAME
+    observations returns it, predict on OTHER observations computes a
+    fresh Viterbi of the right length."""
+    rng = np.random.default_rng(6)
+    X = np.concatenate(
+        [rng.normal(0.0, 0.2, (30, 4)), rng.normal(3.0, 0.2, (30, 4))]
+    )
+    m = GaussianHMM2(seed=0, mode="fast").fit(X)
+    path = m.predict(X)
+    assert path is m._fit_path  # cache hit — no recompute
+    other = rng.normal(1.5, 0.2, (17, 4))
+    fresh = m.predict(other)
+    assert fresh.shape == (17,)
+    assert fresh is not m._fit_path
+
+
+def test_hmm_fast_mode_padding_is_inert():
+    """A fit whose shape lands exactly on the bucket floor and one that
+    pads heavily must segment a clean signal identically — the masked
+    pads contribute nothing."""
+    rng = np.random.default_rng(7)
+    base = np.concatenate(
+        [rng.normal(0.0, 0.25, (128, 8)), rng.normal(5.0, 0.25, (128, 8))]
+    )
+    small = base[:100]  # pads 100 -> 256 frames
+    m = GaussianHMM2(seed=0, mode="fast").fit(small)
+    assert m.predict(small).shape == (100,)
+    assert set(np.unique(m.predict(base[:100]))) <= {0, 1}

@@ -174,3 +174,39 @@ def test_device_rank_matrix_reference_tie_rule():
     got = np.asarray(dev.rank_matrix_desc(jnp.asarray(m)))
     want = np.argsort(m.astype(np.float64), axis=1, kind="stable")[:, ::-1]
     assert np.array_equal(got, want)
+
+
+def test_permute_symmetric_matches_np_ix():
+    """Native threaded permute/subset gather is bit-identical to
+    matrix[np.ix_(order, order)] for permutations, index subsets and
+    boolean masks (pure data movement)."""
+    rng = np.random.default_rng(9)
+    n = 1200  # above the native-path size floor
+    m = rng.random((n, n))
+    cases = [
+        rng.permutation(n),
+        np.sort(rng.choice(n, size=n - 77, replace=False)),
+        rng.random(n) > 0.4,
+    ]
+    for order in cases:
+        got = oracle.permute_symmetric(m, order)
+        assert np.array_equal(got, m[np.ix_(order, order)])
+
+
+def test_thread_rowmap_bit_identical_and_fallback():
+    rng = np.random.default_rng(10)
+    m = rng.random((257, 129))
+    out = oracle._thread_rowmap(m, lambda b: b * 2.0 + 1.0)
+    assert out is not None
+    assert np.array_equal(out, m * 2.0 + 1.0)
+    # a failing transform returns None (callers then go serial)
+    def boom(_b):
+        raise RuntimeError("x")
+    assert oracle._thread_rowmap(m, boom) is None
+
+
+def test_hostmem_tune_idempotent():
+    from hic_genome_assembler_tpu.utils import hostmem
+
+    first = hostmem.tune()
+    assert hostmem.tune() == first  # second call is a cached no-op
