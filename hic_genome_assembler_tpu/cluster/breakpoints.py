@@ -366,15 +366,29 @@ class RankCounts:
             out = _host_fixed_counts(self._host, int(start), int(cut))
             self._cache[key] = out
             return out
+        # a fixed window (start, cut) only reads columns j < cut - start
+        # (the prefix mask) — slice to the pow2 column bucket so the
+        # kernel streams what the window needs, not the full matrix
+        # (same trick as prefetch_fixed_pairs' batched path; identical
+        # counts since sliced-off columns are masked to zero anyway).
+        # The mesh path keeps the full sharded matrix: slicing a
+        # sharded array would trigger a reshard collective per call.
+        mat = self._dev
+        if self._mesh is None:
+            need = max(int(cut) - int(start), 1)
+            b = 1 << max(need - 1, 0).bit_length()
+            b = max(b, 2048)
+            if b < int(self._dev.shape[1]):
+                mat = self._dev[:, :b]
         if self._use_pallas:
             from hic_genome_assembler_tpu.ops import pallas_kernels as pk
 
-            out = np.asarray(pk.fixed_window_counts(self._dev, start, cut, n=self.n))
+            out = np.asarray(pk.fixed_window_counts(mat, start, cut, n=self.n))
         else:
             from hic_genome_assembler_tpu.ops import matrix as dev
 
             out = np.asarray(
-                dev.fixed_window_counts(self._dev, jnp.int32(start), jnp.int32(cut))
+                dev.fixed_window_counts(mat, jnp.int32(start), jnp.int32(cut))
             )
         out = out[: self.n]
         self._cache[key] = out
@@ -523,6 +537,22 @@ def filter_noisy_breakpoints(
         counts.prefetch_fixed_pairs(_pairs)
     prev_filtered: Dict[int, str] = {"__sentinel__": ""}  # never equal on round 1
     filtered: Dict[int, str] = {}
+    # sig flags depend only on (start, c): M = n - start and
+    # local_size = c - start derive from them, and counts.fixed is
+    # cached — memoize across the convergence rounds, which re-walk
+    # mostly the same (start, c) pairs every global round (the sf sweep
+    # over n rows per consult was ~40% of filter wall at 11K)
+    _sig_memo: Dict[tuple, np.ndarray] = {}
+
+    def _sig_for(start: int, c: int) -> np.ndarray:
+        k = (int(start), int(c))
+        hit = _sig_memo.get(k)
+        if hit is None:
+            row_counts = counts.fixed(start, c)
+            hit = _sig_memo[k] = hypergeom.ge_significant(
+                row_counts, n - start, c - start, c - start, psig
+            )
+        return hit
     for _global_round in range(max_global_rounds):
         start = 0
         filtered = {}
@@ -549,11 +579,10 @@ def filter_noisy_breakpoints(
                     counts.prefetch_fixed(start, altered)
                 local_size = c - start
                 # row significance flags for this (start, c) window
-                row_counts = counts.fixed(start, c)
+                # (M == n - start and local_size derive from (start, c),
+                # so the memoized sweep is exact)
                 rows = np.arange(n)
-                sig = hypergeom.ge_significant(
-                    row_counts, M, local_size, local_size, psig
-                )
+                sig = _sig_for(start, c)
                 sig_flags = np.where(
                     (rows - start) > MD, 0, sig.astype(np.int64)
                 )
