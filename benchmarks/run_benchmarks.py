@@ -97,18 +97,7 @@ def config1(workdir: str = "/tmp/hic_bench_c1") -> None:
         chromosome_group_file=files("chromgroups.txt"),
         hyper_geom=True,
         hmm=False,
-        # min_size=15: the reference's config docs recommend 5-15 for
-        # Hi-C data (hicAssembler_config.txt:57).  Measured on this
-        # fixture: min_size=5 overcuts (30 groups/25), >=50 merges
-        # chromosomes (12 groups at half scale), and the Louvain tail
-        # (modularity=.05) splits the tail chromosome into communities
-        # (28 groups) — 15 recovers 24/25 planted chromosomes exactly,
-        # with only the LAST chromosome in dendrogram order split into
-        # contiguous internally-ordered segments (the growing-window
-        # scan's window-decay behavior at the matrix end; the reference
-        # algorithm behaves identically by construction — golden parity
-        # tests pin the implementation).
-        min_size=15,
+        min_size=5,
         modularity=0,
         louvain_rounds=3,
         psig=0.05,
