@@ -139,6 +139,7 @@ def reference_baseline_rate(m, sizes, orders, orients):
         "evals_per_s": round(rate, 2),
         "method": "median of 10x10-eval batches (auto re-pin)",
         "host": os.uname().nodename,
+        "measured_date": time.strftime("%Y-%m-%d"),
     }
     try:
         with open(_BASELINE_META, "w") as fh:

@@ -16,6 +16,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # this image latches the TPU plugin before env vars are read; the
+    # platform must be selected programmatically (same pattern as
+    # tests/conftest.py and benchmarks/ref_sidebyside.py)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from hic_genome_assembler_tpu import cli
 from hic_genome_assembler_tpu.io import fasta, filebus
 from hic_genome_assembler_tpu.utils import fixtures

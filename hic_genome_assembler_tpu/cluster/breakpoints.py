@@ -315,7 +315,10 @@ class RankCounts:
             need = max(c - s, 1)
             b = 1 << max(need - 1, 0).bit_length()
             b = max(b, 2048)
-            if b >= full_cols:
+            if b >= full_cols or self._mesh is not None:
+                # mesh: slicing the 2-D sharded matrix would insert a
+                # reshard collective per bucket — dispatch full-width
+                # (same guard as the per-call fixed() path)
                 b = full_cols
             buckets.setdefault(b, []).append((s, c))
         for b, pairs_b in sorted(buckets.items()):

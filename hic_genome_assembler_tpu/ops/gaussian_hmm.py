@@ -403,7 +403,10 @@ class GaussianHMM2:
             and X.shape == self._fit_shape
             and self._fingerprint(X) == self._fit_fingerprint
         ):
-            return self._fit_path
+            # fresh array per call (hmmlearn/exact-mode contract): a
+            # caller mutating the returned path must not corrupt the
+            # cache behind a second predict()
+            return self._fit_path.copy()
         Xd = jnp.asarray(X)
         log_b = _log_gaussian_diag(Xd, jnp.asarray(self.means_), jnp.asarray(self.covars_))
         path = _viterbi(

@@ -32,6 +32,7 @@ _done = False
 # mallopt(3) parameter numbers (glibc malloc.h)
 _M_TRIM_THRESHOLD = -1
 _M_MMAP_THRESHOLD = -3
+_M_MMAP_MAX = -4
 
 
 def tune() -> bool:
@@ -48,6 +49,12 @@ def tune() -> bool:
         big = ctypes.c_int(2**31 - 1)
         ok = libc.mallopt(_M_TRIM_THRESHOLD, big) == 1
         ok = libc.mallopt(_M_MMAP_THRESHOLD, big) == 1 and ok
+        # the threshold is an int, so a 16384^2 f64 matrix (exactly
+        # 2^31 bytes) would STILL take glibc's mmap path one byte past
+        # the maximum threshold — disable malloc's mmap use entirely so
+        # the multi-GiB matrices also come from (and return to) the
+        # reusable heap
+        ok = libc.mallopt(_M_MMAP_MAX, ctypes.c_int(0)) == 1 and ok
         _done = bool(ok)
         return _done
     except Exception:

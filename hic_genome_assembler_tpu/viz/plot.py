@@ -18,9 +18,20 @@ from __future__ import annotations
 import time
 from typing import Optional, Sequence
 
+import os
+
 import matplotlib
 
-if matplotlib.get_backend().lower() not in ("qtagg", "tkagg", "macosx", "webagg", "nbagg", "module://matplotlib_inline.backend_inline"):
+_INTERACTIVE_BACKENDS = (
+    "qtagg", "qt5agg", "qt6agg", "tkagg", "gtk3agg", "gtk4agg", "wxagg",
+    "macosx", "webagg", "nbagg",
+    "module://matplotlib_inline.backend_inline",
+    "module://ipympl.backend_nbagg",
+)
+if (
+    not os.environ.get("MPLBACKEND")  # an explicit env choice wins
+    and matplotlib.get_backend().lower() not in _INTERACTIVE_BACKENDS
+):
     matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402

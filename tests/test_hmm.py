@@ -132,7 +132,12 @@ def test_hmm_fast_predict_cache_and_miss():
     )
     m = GaussianHMM2(seed=0, mode="fast").fit(X)
     path = m.predict(X)
-    assert path is m._fit_path  # cache hit — no recompute
+    # cache hit: equals the fused-decode path but is a FRESH array (a
+    # caller mutating the result must not corrupt the cache)
+    assert np.array_equal(path, m._fit_path)
+    assert path is not m._fit_path
+    path[:] = 9
+    assert not np.array_equal(path, m._fit_path)
     other = rng.normal(1.5, 0.2, (17, 4))
     fresh = m.predict(other)
     assert fresh.shape == (17,)
