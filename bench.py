@@ -39,6 +39,9 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from hic_genome_assembler_tpu.ops import cost, oracle, perms  # noqa: E402
+from hic_genome_assembler_tpu.utils import hostmem  # noqa: E402
+
+hostmem.tune()  # warm-page reuse for the per-pass host bookkeeping
 
 
 def build_problem(C=2048, seed=0):
